@@ -1,0 +1,69 @@
+"""mollytpu — a TPU-native molecular dynamics framework.
+
+From-scratch re-design of the capabilities of Molly.jl (reference mounted at
+/root/reference) for TPU hardware: JAX + Pallas compute path, immutable pytree
+state, fully jit-compiled scan-based stepping, sharded replica parallelism.
+See SURVEY.md for the reference structural analysis this build tracks.
+"""
+
+from . import units
+from .atoms import Atoms, AtomData, make_atoms, ALCH_CORE, ALCH_INSERT, ALCH_DELETE
+from .boundary import (
+    Orthorhombic, Triclinic, cubic, rectangular, triclinic_from_lengths_angles,
+    place_atoms, place_diatomics, random_coords, distance, sq_distance,
+)
+from .spatial import (
+    random_velocity, random_velocities, kinetic_energy, kinetic_energy_tensor,
+    temperature, remove_cm_motion, pressure_tensor, scalar_pressure,
+    scale_coords, n_dof,
+)
+from .system import System, Exclusions, molecule_ids_from_bonds
+from .forces import (
+    potential_energy, forces, forces_virial, accelerations, total_energy,
+)
+from .ops.cutoffs import (
+    NoCutoff, DistanceCutoff, ShiftedPotentialCutoff, ShiftedForceCutoff,
+    CubicSplineCutoff, PolynomialCutoff,
+)
+from .ops.mixing import (
+    LorentzMixing, GeometricMixing, WaldmanHaglerMixing, FenderHalseyMixing,
+    InverseMixing, MinimumMixing, MixingException, ExceptionTable,
+)
+from .ops.pairwise import (
+    LennardJones, LennardJonesSoftCoreBeutler, LennardJonesSoftCoreGapsys,
+    AshbaughHatch, SoftSphere, Mie, Buckingham, DoubleExponential,
+    DoubleExponentialSoftCore, Gravity, Coulomb, CoulombScaled,
+    CoulombReactionField, CoulombReactionFieldScaled, CoulombSoftCoreBeutler,
+    CoulombSoftCoreGapsys, CoulombEwald, CoulombEwaldScaled,
+    CoulombSoftCoreBeutlerEwald, CoulombSoftCoreGapsysEwald,
+    CoulombSoftCoreBeutlerReactionField, CoulombSoftCoreGapsysReactionField,
+    Yukawa, DPDInteraction,
+)
+from .ops.bonded import (
+    SpecificList, harmonic_bonds, morse_bonds, fene_bonds, harmonic_angles,
+    cosine_angles, urey_bradleys, periodic_torsions, rb_torsions,
+    harmonic_torsions, position_restraints, specific_energy, specific_forces,
+)
+from .ops.general import GeneralInteraction, MullerBrown, LJDispersionCorrection
+from .ops.neighbors import (
+    Neighbors, NoNeighborFinder, DistanceNeighborFinder, CellListNeighborFinder,
+    find_neighbors,
+)
+from .sim.integrators import (
+    VelocityVerlet, Verlet, StormerVerlet, Langevin, LangevinSplitting,
+    OverdampedLangevin, NoseHoover, DPDVelocityVerlet,
+)
+from .sim.coupling import (
+    ImmediateThermostat, VelocityRescaleThermostat, AndersenThermostat,
+    BerendsenThermostat, BerendsenBarostat,
+)
+from .sim.simulate import simulate
+from .utils import loggers
+from .utils.loggers import (
+    GeneralObservableLogger, TemperatureLogger, CoordinatesLogger,
+    VelocitiesLogger, ForcesLogger, KineticEnergyLogger, PotentialEnergyLogger,
+    TotalEnergyLogger, VolumeLogger, BoxLogger, DensityLogger, VirialLogger,
+    ScalarVirialLogger, PressureLogger, ScalarPressureLogger,
+)
+
+__version__ = "0.1.0"

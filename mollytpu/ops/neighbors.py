@@ -1,0 +1,240 @@
+"""Neighbor finding under jit: fixed-capacity cell lists and padded pair lists.
+
+TPU-native re-design of the reference's neighbor stack
+(/root/reference/src/neighbors.jl): the growable `NeighborList` of (i, j,
+special) tuples (src/types.jl:605-681) becomes a static-shape per-atom padded
+neighbor table `Neighbors.idx (N, K)` with a parallel special-pair flag array,
+built entirely on device inside jit:
+
+  NoNeighborFinder        -> dense all-pairs masks (src/neighbors.jl:31)
+  DistanceNeighborFinder  -> O(N^2) distance test + row compaction (:373-474)
+  CellListNeighborFinder  -> fixed-capacity cell grid + 27-stencil gather +
+                             row compaction (CellListMap analogue, :552-693)
+
+Overflow (more than K neighbors, or more than capacity atoms in a cell) is
+reported in `Neighbors.overflow` for the host to check after a run — the
+functional analogue of the reference's tile-overflow error
+(ext/MollyCUDAExt.jl:733-739); rebuild with a larger capacity if it fires.
+
+Rebuild cadence follows the reference (`n_steps` field, find_neighbors
+force_recompute): the simulator calls `maybe_rebuild` each step and the
+rebuild happens under lax.cond so the step stays a single compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register(cls, data_fields, meta_fields=()):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class Neighbors:
+    """Padded per-atom neighbor table. idx[i, k] in [0, N) is a live neighbor
+    (each unordered pair appears in exactly one row: j > i), == N is padding.
+    special marks 1-4 pairs. overflow > 0 means capacity was exceeded."""
+
+    idx: jax.Array       # (N, K) int32
+    special: jax.Array   # (N, K) bool
+    overflow: jax.Array  # () int32
+    step_built: jax.Array  # () int32
+
+    @property
+    def capacity(self):
+        return self.idx.shape[1]
+
+
+_register(Neighbors, ["idx", "special", "overflow", "step_built"])
+
+
+def _membership(table_row, js):
+    """Is each j in js present in the padded table row? (W,) x (K,) -> (K,)"""
+    return jnp.any(js[:, None] == table_row[None, :], axis=1)
+
+
+def _compact_rows(cand_j, valid, special, k_max, n_atoms):
+    """Per-row: move valid candidates to the front, truncate to k_max."""
+    # Sort key: invalid -> large. argsort is stable so order is preserved.
+    order = jnp.argsort(jnp.where(valid, 0, 1), axis=1, stable=True)
+    cand_sorted = jnp.take_along_axis(cand_j, order, axis=1)[:, :k_max]
+    valid_sorted = jnp.take_along_axis(valid, order, axis=1)[:, :k_max]
+    spec_sorted = jnp.take_along_axis(special, order, axis=1)[:, :k_max]
+    idx = jnp.where(valid_sorted, cand_sorted, n_atoms).astype(jnp.int32)
+    counts = jnp.sum(valid, axis=1)
+    overflow = jnp.maximum(jnp.max(counts) - k_max, 0).astype(jnp.int32)
+    return idx, spec_sorted & valid_sorted, overflow
+
+
+@dataclasses.dataclass(frozen=True)
+class NoNeighborFinder:
+    """All pairs interact every step; the engine runs its dense path."""
+
+    n_steps: int = dataclasses.field(default=0, metadata={"static": True})
+
+    def find(self, coords, boundary, exclusions, step_n=0):
+        return None
+
+
+_register(NoNeighborFinder, [], ["n_steps"])
+
+
+@dataclasses.dataclass(frozen=True)
+class DistanceNeighborFinder:
+    """O(N^2) masked distance test, compacted to (N, K)
+    (src/neighbors.jl:373-474). dist_cutoff should include a skin beyond the
+    interaction cutoff to cover motion between rebuilds."""
+
+    dist_cutoff: float
+    n_steps: int = dataclasses.field(default=10, metadata={"static": True})
+    max_neighbors: int = dataclasses.field(default=64, metadata={"static": True})
+
+    def find(self, coords, boundary, exclusions, step_n=0):
+        n = coords.shape[0]
+        dr = jax.vmap(lambda xi: boundary.displacement(xi[None, :], coords))(coords)
+        d2 = jnp.sum(dr * dr, axis=-1)  # (N, N)
+        js = jnp.arange(n)
+        upper = js[None, :] > js[:, None]
+        within = d2 < self.dist_cutoff ** 2
+        excl = jax.vmap(_membership)(exclusions.excl_table, jnp.broadcast_to(js, (n, n)))
+        spec = jax.vmap(_membership)(exclusions.spec_table, jnp.broadcast_to(js, (n, n)))
+        valid = upper & within & ~excl
+        idx, special, overflow = _compact_rows(
+            jnp.broadcast_to(js, (n, n)), valid, spec, self.max_neighbors, n)
+        return Neighbors(idx, special, overflow, jnp.asarray(step_n, jnp.int32))
+
+
+_register(DistanceNeighborFinder, ["dist_cutoff"], ["n_steps", "max_neighbors"])
+
+
+@dataclasses.dataclass(frozen=True)
+class CellListNeighborFinder:
+    """Fixed-shape cell list: atoms bin into a static grid sized from the
+    initial box; neighbor candidates come from the 27-cell stencil; rows
+    compact to (N, K). Recommended default for large periodic systems
+    (reference: CellListMapNeighborFinder, src/neighbors.jl:552-693).
+
+    grid_dims/cell_capacity are static; if the box shrinks under NPT by more
+    than ~2x the finder must be rebuilt host-side (overflow reports it).
+    """
+
+    dist_cutoff: float
+    grid_dims: tuple = dataclasses.field(default=None, metadata={"static": True})
+    n_steps: int = dataclasses.field(default=10, metadata={"static": True})
+    max_neighbors: int = dataclasses.field(default=96, metadata={"static": True})
+    cell_capacity: int = dataclasses.field(default=32, metadata={"static": True})
+
+    @classmethod
+    def setup(cls, boundary, dist_cutoff, n_atoms, n_steps=10,
+              max_neighbors=None, cell_capacity=None, density_factor=3.0):
+        """Size the grid and capacities from the initial box and atom count."""
+        sides = np.asarray(jax.device_get(boundary.side_lengths), dtype=np.float64)
+        dims = tuple(int(max(1, math.floor(s / dist_cutoff))) for s in sides)
+        n_cells = int(np.prod(dims))
+        per_cell = n_atoms / max(n_cells, 1)
+        if cell_capacity is None:
+            cell_capacity = int(max(16, math.ceil(per_cell * density_factor)))
+        if max_neighbors is None:
+            # half-sphere of radius rc at the mean density, padded
+            vol = float(np.prod(sides))
+            dens = n_atoms / vol
+            half_sphere = 0.5 * 4.0 / 3.0 * math.pi * dist_cutoff ** 3 * dens
+            max_neighbors = int(max(16, math.ceil(half_sphere * density_factor)))
+        return cls(dist_cutoff=dist_cutoff, grid_dims=dims, n_steps=n_steps,
+                   max_neighbors=max_neighbors, cell_capacity=cell_capacity)
+
+    def find(self, coords, boundary, exclusions, step_n=0):
+        n = coords.shape[0]
+        dims = jnp.asarray(self.grid_dims, dtype=jnp.int32)
+        n_cells = int(np.prod(self.grid_dims))
+        cap = self.cell_capacity
+
+        frac = boundary.fractional(boundary.wrap(coords))
+        frac = jnp.clip(frac, 0.0, 1.0 - 1e-7)
+        cell3 = jnp.floor(frac * dims.astype(coords.dtype)).astype(jnp.int32)
+        cell3 = jnp.clip(cell3, 0, dims - 1)
+        dz, dy = self.grid_dims[2], self.grid_dims[1]
+        cid = (cell3[:, 0] * dy + cell3[:, 1]) * dz + cell3[:, 2]
+
+        # cell -> atoms table via sort + within-run rank
+        order = jnp.argsort(cid).astype(jnp.int32)
+        sorted_cid = cid[order]
+        arange = jnp.arange(n)
+        is_start = jnp.concatenate([jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
+        start_idx = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, arange, 0))
+        rank = arange - start_idx
+        table = jnp.full((n_cells * cap,), n, dtype=jnp.int32)
+        slot = sorted_cid * cap + jnp.minimum(rank, cap - 1)
+        # drop atoms over capacity (record overflow)
+        keep = rank < cap
+        cell_overflow = jnp.sum(~keep).astype(jnp.int32)
+        table = table.at[jnp.where(keep, slot, n_cells * cap - 1)].set(
+            jnp.where(keep, order, table[-1]), mode="drop")
+        table = table.reshape(n_cells, cap)
+
+        # 27-cell stencil (static offsets). With dims < 3 along an axis the
+        # stencil may revisit a cell; duplicates are removed by the j > i and
+        # uniqueness of table entries.
+        offsets = np.array(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                       indexing="ij")).reshape(3, -1).T  # (27, 3)
+        # Avoid duplicate cells when a grid dimension is 1 or 2.
+        seen, uniq = set(), []
+        for off in offsets:
+            key = tuple(int(o) % d if d > 0 else 0
+                        for o, d in zip(off, self.grid_dims))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(off)
+        offsets = jnp.asarray(np.array(uniq), dtype=jnp.int32)  # (M, 3)
+        m = offsets.shape[0]
+
+        ncell3 = (cell3[:, None, :] + offsets[None, :, :]) % dims  # (N, M, 3)
+        ncid = (ncell3[..., 0] * dy + ncell3[..., 1]) * dz + ncell3[..., 2]
+        cand = table[ncid.reshape(-1)].reshape(n, m * cap)  # (N, M*cap)
+
+        js = cand
+        safe_j = jnp.minimum(js, n - 1)
+        dr = jax.vmap(lambda xi, jrow: boundary.displacement(xi[None, :], coords[jrow]))(
+            coords, safe_j)
+        d2 = jnp.sum(dr * dr, axis=-1)
+        in_range = (js < n) & (js > jnp.arange(n)[:, None]) & (d2 < self.dist_cutoff ** 2)
+        excl = jax.vmap(_membership)(exclusions.excl_table, safe_j)
+        spec = jax.vmap(_membership)(exclusions.spec_table, safe_j)
+        valid = in_range & ~excl
+        idx, special, overflow = _compact_rows(js, valid, spec, self.max_neighbors, n)
+        return Neighbors(idx, special, overflow + cell_overflow,
+                         jnp.asarray(step_n, jnp.int32))
+
+
+_register(CellListNeighborFinder, ["dist_cutoff"],
+          ["grid_dims", "n_steps", "max_neighbors", "cell_capacity"])
+
+
+def find_neighbors(finder, coords, boundary, exclusions, step_n=0):
+    if finder is None:
+        return None
+    return finder.find(coords, boundary, exclusions, step_n)
+
+
+def maybe_rebuild(finder, neighbors, coords, boundary, exclusions, step_n):
+    """Rebuild on the finder's cadence inside jit (single compiled program)."""
+    if finder is None or isinstance(finder, NoNeighborFinder) or neighbors is None:
+        return neighbors
+    if finder.n_steps <= 1:
+        return finder.find(coords, boundary, exclusions, step_n)
+    do = (jnp.asarray(step_n) % finder.n_steps) == 0
+    return jax.lax.cond(
+        do,
+        lambda: finder.find(coords, boundary, exclusions, step_n),
+        lambda: neighbors,
+    )

@@ -1,0 +1,213 @@
+"""Pairwise force/energy evaluation: dense all-pairs and neighbor-list paths.
+
+This is the XLA analogue of the reference's force engine hot loops
+(/root/reference/src/force.jl:722-969 CPU, src/kernels.jl:114-567 GPU): the
+per-pair scalar kernel is a composed sum of interaction energies; its
+distance-derivative comes from one fused value_and_grad, forces scatter with
+segment-sum instead of atomics, and the pair virial accumulates as
+-(dU/dr / r) dr (x) dr, matching the reference's dr (x) f convention
+(src/force.jl:849-851).
+
+The separately-optimized Pallas tile kernel (pallas_pairwise.py) implements
+the same contract for the dominant LJ + Coulomb/RF case.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_inters(inters):
+    conservative = tuple(i for i in inters if not getattr(i, "uses_velocity", False))
+    velocity_dep = tuple(i for i in inters if getattr(i, "uses_velocity", False))
+    return conservative, velocity_dep
+
+
+def _pair_energy_fn(inters):
+    def e(r, ai, aj, special):
+        tot = 0.0
+        for inter in inters:
+            tot = tot + inter.energy(r, ai, aj, special)
+        return tot
+
+    return e
+
+
+def dense_pair_mask(n_atoms, exclusions, dtype=jnp.int8):
+    """(N, N) pair codes: 0 normal, 1 excluded (incl. diagonal), 2 special."""
+    mask = jnp.zeros((n_atoms, n_atoms), dtype=dtype)
+    mask = mask.at[jnp.arange(n_atoms), jnp.arange(n_atoms)].set(1)
+    if exclusions is not None:
+        ei, ej = exclusions.excl_i, exclusions.excl_j
+        mask = mask.at[ei, ej].set(1)
+        mask = mask.at[ej, ei].set(1)
+        si, sj = exclusions.spec_i, exclusions.spec_j
+        mask = mask.at[si, sj].set(2)
+        mask = mask.at[sj, si].set(2)
+    return mask
+
+
+def dense_energy(inters, atoms, coords, boundary, pair_mask):
+    """All-pairs energy: 1/2 sum over ordered pairs (both orderings computed;
+    XLA keeps this a single fused elementwise pass over (N, N))."""
+    if not inters:
+        return jnp.zeros((), dtype=coords.dtype)
+    n = coords.shape[0]
+    e_fn = _pair_energy_fn(inters)
+
+    dr = jax.vmap(lambda xi: boundary.displacement(xi[None, :], coords))(coords)
+    d2 = jnp.sum(dr * dr, axis=-1)
+    live = pair_mask != 1
+    special = pair_mask == 2
+    r = jnp.sqrt(jnp.where(live, d2, 1.0))
+
+    def row(ri, ai, live_i, spec_i):
+        return jax.vmap(lambda rr, aj, lv, sp:
+                        jnp.where(lv, e_fn(jnp.where(lv, rr, 1.0), ai, aj, sp), 0.0)
+                        )(ri, atoms, live_i, spec_i)
+
+    e = jax.vmap(row)(r, atoms, live, special)
+    return 0.5 * jnp.sum(e)
+
+
+def dense_forces(inters, atoms, coords, boundary, pair_mask, velocities=None,
+                 step_n=0, needs_virial=False):
+    """All-pairs forces (N, D) and virial (D, D)."""
+    n, d = coords.shape
+    zero_vir = jnp.zeros((d, d), dtype=coords.dtype)
+    if not inters:
+        return jnp.zeros_like(coords), zero_vir
+    cons, veldep = _split_inters(inters)
+
+    dr = jax.vmap(lambda xi: boundary.displacement(xi[None, :], coords))(coords)  # dr[i,j] = xj - xi
+    d2 = jnp.sum(dr * dr, axis=-1)
+    live = pair_mask != 1
+    special = pair_mask == 2
+    r = jnp.sqrt(jnp.where(live, d2, 1.0))
+
+    forces = jnp.zeros_like(coords)
+    vir = zero_vir
+
+    if cons:
+        e_fn = _pair_energy_fn(cons)
+        g_fn = jax.grad(e_fn, argnums=0)
+
+        def row(ri, ai, live_i, spec_i):
+            return jax.vmap(lambda rr, aj, lv, sp:
+                            jnp.where(lv, g_fn(jnp.where(lv, rr, 1.0), ai, aj, sp), 0.0)
+                            )(ri, atoms, live_i, spec_i)
+
+        g = jax.vmap(row)(r, atoms, live, special)  # dU/dr per ordered pair
+        coef = g / r  # (dU/dr)/r ; masked pairs have g = 0
+        forces = forces + jnp.einsum("ij,ijd->id", coef, dr)
+        if needs_virial:
+            vir = vir - 0.5 * jnp.einsum("ij,ijd,ije->de", coef, dr, dr)
+
+    for inter in veldep:
+        ii = jnp.arange(n)
+
+        def row_f(dri, ri, i_idx, ai, vi, live_i, spec_i):
+            return jax.vmap(lambda drij, rr, j_idx, aj, vj, lv, sp:
+                            jnp.where(lv, 1.0, 0.0)[..., None] *
+                            inter.force_vec(drij, jnp.where(lv, rr, 1.0), i_idx, j_idx,
+                                            ai, aj, vi, vj, sp, step_n)
+                            )(dri, ri, ii, atoms, velocities, live_i, spec_i)
+
+        fv = jax.vmap(row_f)(dr, r, ii, atoms, velocities, live, special)  # (N,N,D) force on j
+        # force on i from ordered pair (i, j) is -fv[i, j]; summing ordered
+        # pairs both ways gives each atom its full force without double count.
+        forces = forces - jnp.sum(fv, axis=1)
+        if needs_virial:
+            vir = vir + 0.5 * jnp.einsum("ijd,ije->de", dr, fv)
+
+    return forces, vir
+
+
+def _gather_atoms(atoms, idx):
+    return jax.tree.map(lambda a: a[idx] if a is not None else None, atoms)
+
+
+def neighbor_energy(inters, atoms, coords, boundary, neighbors):
+    """Energy over the compact (N, K) neighbor table (each pair once)."""
+    if not inters or neighbors is None:
+        return jnp.zeros((), dtype=coords.dtype)
+    n = coords.shape[0]
+    e_fn = _pair_energy_fn(inters)
+    idx = neighbors.idx
+    live = idx < n
+    safe_j = jnp.minimum(idx, n - 1)
+    xj = coords[safe_j]  # (N, K, D)
+    dr = jax.vmap(lambda xi, xr: boundary.displacement(xi[None, :], xr))(coords, xj)
+    d2 = jnp.sum(dr * dr, axis=-1)
+    r = jnp.sqrt(jnp.where(live, d2, 1.0))
+    ai = atoms  # row atom views broadcast over K via outer vmap
+    aj = _gather_atoms(atoms, safe_j)
+
+    def row(ri, a_i, a_j, live_i, spec_i):
+        return jax.vmap(lambda rr, ajj, lv, sp:
+                        jnp.where(lv, e_fn(jnp.where(lv, rr, 1.0), a_i, ajj, sp), 0.0)
+                        )(ri, a_j, live_i, spec_i)
+
+    e = jax.vmap(row)(r, ai, aj, live, neighbors.special)
+    return jnp.sum(e)
+
+
+def neighbor_forces(inters, atoms, coords, boundary, neighbors, velocities=None,
+                    step_n=0, needs_virial=False):
+    """Forces and virial over the compact neighbor table."""
+    n, d = coords.shape
+    zero_vir = jnp.zeros((d, d), dtype=coords.dtype)
+    if not inters or neighbors is None:
+        return jnp.zeros_like(coords), zero_vir
+    cons, veldep = _split_inters(inters)
+    idx = neighbors.idx
+    live = idx < n
+    safe_j = jnp.minimum(idx, n - 1)
+    xj = coords[safe_j]
+    dr = jax.vmap(lambda xi, xr: boundary.displacement(xi[None, :], xr))(coords, xj)
+    d2 = jnp.sum(dr * dr, axis=-1)
+    r = jnp.sqrt(jnp.where(live, d2, 1.0))
+    aj = _gather_atoms(atoms, safe_j)
+
+    forces = jnp.zeros_like(coords)
+    vir = zero_vir
+
+    if cons:
+        e_fn = _pair_energy_fn(cons)
+        g_fn = jax.grad(e_fn, argnums=0)
+
+        def row(ri, a_i, a_j, live_i, spec_i):
+            return jax.vmap(lambda rr, ajj, lv, sp:
+                            jnp.where(lv, g_fn(jnp.where(lv, rr, 1.0), a_i, ajj, sp), 0.0)
+                            )(ri, a_j, live_i, spec_i)
+
+        g = jax.vmap(row)(r, atoms, aj, live, neighbors.special)
+        coef = g / r  # (N, K)
+        fi = coef[..., None] * dr  # force contribution to row atom i
+        forces = forces + jnp.sum(fi, axis=1)
+        forces = forces + jax.ops.segment_sum(
+            (-fi).reshape(-1, d), safe_j.reshape(-1), num_segments=n)
+        if needs_virial:
+            vir = vir - jnp.einsum("ik,ikd,ike->de", coef, dr, dr)
+
+    if veldep:
+        vj = velocities[safe_j]
+        ii = jnp.arange(n)
+        for inter in veldep:
+            def row_f(dri, ri, i_idx, a_i, v_i, a_j, v_j, j_idx, live_i, spec_i):
+                return jax.vmap(lambda drij, rr, ajj, vjj, jj, lv, sp:
+                                jnp.where(lv, 1.0, 0.0)[..., None] *
+                                inter.force_vec(drij, jnp.where(lv, rr, 1.0), i_idx, jj,
+                                                a_i, ajj, v_i, vjj, sp, step_n)
+                                )(dri, ri, a_j, v_j, j_idx, live_i, spec_i)
+
+            fv = jax.vmap(row_f)(dr, r, ii, atoms, velocities, aj, vj, safe_j,
+                                 live, neighbors.special)  # (N, K, D): force on j
+            forces = forces - jnp.sum(fv, axis=1)
+            forces = forces + jax.ops.segment_sum(
+                fv.reshape(-1, d), safe_j.reshape(-1), num_segments=n)
+            if needs_virial:
+                vir = vir + jnp.einsum("ikd,ike->de", dr, fv)
+
+    return forces, vir

@@ -1,0 +1,129 @@
+"""The simulation driver: fully jit-compiled, scan-based stepping.
+
+Re-design of the reference's host-driven `simulate!` loop
+(/root/reference/src/simulators.jl:137-668). The reference launches kernels
+and syncs to the host every step; here the step is one pure function advanced
+by lax.scan in chunks, with the chunk boundary the only host touch point
+(logging, NaN checks, neighbor-overflow checks). With no loggers the whole
+trajectory is one compiled scan.
+
+Contract: simulate(sys, simulator, n_steps, key, loggers=...) ->
+(final System, logs dict). Resume = pass init_step (reference parity:
+simulate!(...; init_step), simulators.jl:158-159).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.neighbors import find_neighbors, maybe_rebuild
+from .coupling import needs_virial_interval
+
+
+def _chunk_sizes(n_steps, intervals):
+    """Yield chunk lengths so every logger interval boundary is hit."""
+    if not intervals:
+        return [n_steps] if n_steps else []
+    g = intervals[0]
+    for iv in intervals[1:]:
+        g = math.gcd(g, iv)
+    sizes = []
+    done = 0
+    while done < n_steps:
+        step = min(g, n_steps - done)
+        sizes.append(step)
+        done += step
+    return sizes
+
+
+def _make_chunk_fn(simulator, needs_virial):
+    def run_chunk(sys, neighbors, aux, key, step0, n):
+        def body(carry, i):
+            sys, neighbors, aux, key = carry
+            step_n = step0 + i
+            key, sub = jax.random.split(key)
+            sys, aux = simulator.step(sys, neighbors, aux, step_n, sub,
+                                      needs_virial=needs_virial)
+            neighbors = maybe_rebuild(sys.neighbor_finder, neighbors, sys.coords,
+                                      sys.boundary, sys.exclusions, step_n + 1)
+            return (sys, neighbors, aux, key), None
+
+        (sys, neighbors, aux, key), _ = jax.lax.scan(
+            body, (sys, neighbors, aux, key), jnp.arange(n))
+        return sys, neighbors, aux, key
+
+    return run_chunk
+
+
+def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
+             init_step=0, check_nans=False, neighbors=None):
+    """Run n_steps of MD. Returns (final_sys, logs).
+
+    loggers: dict name -> logger (see utils.loggers). logs maps each name to
+    the stacked recorded values (host-side list stacking after the run).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    loggers = dict(loggers or {})
+    lset = list(loggers.values())
+
+    nv_interval = needs_virial_interval(getattr(simulator, "coupling", ()), lset)
+    needs_virial = nv_interval > 0
+
+    if neighbors is None:
+        neighbors = find_neighbors(sys.neighbor_finder, sys.coords, sys.boundary,
+                                   sys.exclusions, init_step)
+    aux = simulator.init_aux(sys, neighbors, needs_virial=needs_virial)
+
+    logs = {name: [] for name in loggers}
+
+    def log_now(step_n, first=False):
+        if not run_loggers:
+            return
+        for name, lg in loggers.items():
+            iv = max(int(lg.interval), 1)
+            if step_n % iv == 0 and (step_n > 0 or run_loggers != "skipstart"):
+                logs[name].append(jax.device_get(
+                    lg.observe(sys, neighbors, aux, step_n)))
+
+    log_now(init_step, first=True)
+
+    intervals = [max(int(lg.interval), 1) for lg in lset]
+    chunks = _chunk_sizes(n_steps, intervals)
+
+    chunk_fn_cache = {}
+    run_chunk = _make_chunk_fn(simulator, needs_virial)
+
+    step_n = init_step
+    for n in chunks:
+        if n not in chunk_fn_cache:
+            chunk_fn_cache[n] = jax.jit(partial(run_chunk, n=n))
+        sys, neighbors, aux, key = chunk_fn_cache[n](sys, neighbors, aux, key,
+                                                     jnp.asarray(step_n))
+        step_n += n
+        if check_nans:
+            if bool(jnp.any(jnp.isnan(sys.coords))):
+                raise FloatingPointError(f"NaN coordinates at step {step_n}")
+        if neighbors is not None:
+            ov = int(jax.device_get(neighbors.overflow))
+            if ov > 0:
+                raise RuntimeError(
+                    f"neighbor list overflow by {ov} at step {step_n}; increase "
+                    "max_neighbors / cell_capacity on the neighbor finder")
+        log_now(step_n)
+
+    logs = {k: _stack(v) for k, v in logs.items()}
+    return sys, logs
+
+
+def _stack(values):
+    if not values:
+        return values
+    try:
+        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *values)
+    except Exception:
+        return values
