@@ -49,6 +49,7 @@ from .ops.neighbors import (
     Neighbors, NoNeighborFinder, DistanceNeighborFinder, CellListNeighborFinder,
     find_neighbors,
 )
+from .ops.celltiles import CellTileFinder, CellTiles
 from .sim.integrators import (
     VelocityVerlet, Verlet, StormerVerlet, Langevin, LangevinSplitting,
     OverdampedLangevin, NoseHoover, DPDVelocityVerlet,

@@ -83,6 +83,20 @@ class Orthorhombic:
     def from_fractional(self, f):
         return f * self.side_lengths
 
+    def mic_parts(self, diffs):
+        """Minimum-image convention applied per component. `diffs` is a tuple
+        of D same-shaped arrays (raw coordinate differences); returns the
+        wrapped tuple. TPU-friendly: never forms a (..., D) array (minor-dim
+        tiling pads small trailing dims 43x on TPU)."""
+        out = []
+        for d, dx in enumerate(diffs):
+            box_d = self.side_lengths[d]
+            periodic = jnp.isfinite(box_d)
+            safe = jnp.where(periodic, box_d, 1.0)
+            shift = jnp.where(periodic, jnp.round(dx / safe), 0.0)
+            out.append(dx - shift * jnp.where(periodic, box_d, 0.0))
+        return tuple(out)
+
 
 _register(Orthorhombic, ["side_lengths"])
 
@@ -157,6 +171,22 @@ class Triclinic:
 
     def center(self):
         return jnp.sum(self.basis, axis=0) / 2
+
+    def mic_parts(self, diffs):
+        """Component-wise approximate minimum image (fractional rounding).
+        See Orthorhombic.mic_parts for the TPU layout rationale."""
+        dx, dy, dz = diffs
+        inv = jnp.linalg.inv(self.basis)
+        f1 = dx * inv[0, 0] + dy * inv[1, 0] + dz * inv[2, 0]
+        f2 = dx * inv[0, 1] + dy * inv[1, 1] + dz * inv[2, 1]
+        f3 = dx * inv[0, 2] + dy * inv[1, 2] + dz * inv[2, 2]
+        f1 = f1 - jnp.round(f1)
+        f2 = f2 - jnp.round(f2)
+        f3 = f3 - jnp.round(f3)
+        b = self.basis
+        return (f1 * b[0, 0] + f2 * b[1, 0] + f3 * b[2, 0],
+                f1 * b[0, 1] + f2 * b[1, 1] + f3 * b[2, 1],
+                f1 * b[0, 2] + f2 * b[1, 2] + f3 * b[2, 2])
 
 
 _register(Triclinic, ["basis"], ["approx_images"])

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .ops import nonbonded
 from .ops.bonded import specific_energy, specific_forces
+from .ops.celltiles import CellTiles, tile_energy, tile_forces
 from .spatial import kinetic_energy as _ke
 
 
@@ -34,7 +35,11 @@ def potential_energy(sys, neighbors=None, step_n=0):
     if nl:
         if neighbors is None:
             raise ValueError("neighbor-list interactions present but neighbors is None")
-        e = e + nonbonded.neighbor_energy(nl, atoms, coords, boundary, neighbors)
+        if isinstance(neighbors, CellTiles):
+            e = e + tile_energy(nl, atoms, coords, boundary, neighbors,
+                                sys.neighbor_finder, sys.exclusions)
+        else:
+            e = e + nonbonded.neighbor_energy(nl, atoms, coords, boundary, neighbors)
     for slist in sys.specific_lists:
         e = e + specific_energy(slist, coords, boundary)
     for gi in sys.general_inters:
@@ -58,9 +63,15 @@ def forces_virial(sys, neighbors=None, step_n=0, needs_virial=False):
     if nl:
         if neighbors is None:
             raise ValueError("neighbor-list interactions present but neighbors is None")
-        f, v = nonbonded.neighbor_forces(nl, atoms, coords, boundary, neighbors,
-                                         velocities=sys.velocities, step_n=step_n,
-                                         needs_virial=needs_virial)
+        if isinstance(neighbors, CellTiles):
+            f, v = tile_forces(nl, atoms, coords, boundary, neighbors,
+                               sys.neighbor_finder, sys.exclusions,
+                               velocities=sys.velocities, step_n=step_n,
+                               needs_virial=needs_virial)
+        else:
+            f, v = nonbonded.neighbor_forces(nl, atoms, coords, boundary, neighbors,
+                                             velocities=sys.velocities, step_n=step_n,
+                                             needs_virial=needs_virial)
         fs, vir = fs + f, vir + v
     for slist in sys.specific_lists:
         f, v = specific_forces(slist, coords, boundary, needs_virial=needs_virial)

@@ -1,0 +1,593 @@
+"""System construction from coordinate files + force fields.
+
+Re-design of the reference's setup path (/root/reference/src/setup.jl:430-1171
+and src/residues.jl): PDB read -> residue template matching -> bond creation
+(intra-template, peptide links, disulfides, CONECT) -> bonded-topology
+enumeration (angles/torsions/impropers/CMAPs from the bond graph, same
+semantics as residues.jl:618-724) -> parameter resolution through the
+force-field resolvers -> exclusions (1-2/1-3 excluded, 1-4 special) ->
+nonbonded method selection (:cutoff reaction field / :pme / :none) ->
+device-array System assembly.
+
+All of this is host-side numpy; only the final System holds device arrays.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import boundary as bnd
+from ..atoms import make_atoms, AtomData
+from ..system import System, Exclusions, molecule_ids_from_bonds
+from ..ops import bonded
+from ..ops.cutoffs import DistanceCutoff
+from ..ops.pairwise import LennardJones, CoulombReactionField, CoulombEwald
+from ..ops.general import LJDispersionCorrection
+from ..ops.ewald import PME
+from ..ops.neighbors import CellListNeighborFinder, DistanceNeighborFinder
+from ..ops.virtual_sites import VirtualSites
+from .pdb import read_pdb, element_mass
+
+_AA3 = {
+    "ALA", "ARG", "ASN", "ASP", "ASH", "CYS", "CYX", "CYM", "GLN", "GLU",
+    "GLH", "GLY", "HIS", "HID", "HIE", "HIP", "ILE", "LEU", "LYS", "LYN",
+    "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
+}
+
+
+def is_water(res_name):
+    return res_name in ("HOH", "WAT", "TIP3", "TIP4", "SOL", "T3P", "T4P")
+
+
+def _build_bonds(struct, templates, atom_map):
+    """All bonds as (i, j) global index pairs."""
+    bonds = set()
+    # intra-residue from templates
+    for ri, (res, tmpl) in enumerate(zip(struct.residues, templates)):
+        mapping = atom_map[ri]  # template atom idx -> global atom idx
+        for (a, b) in tmpl.bonds:
+            i, j = mapping[a], mapping[b]
+            bonds.add((min(i, j), max(i, j)))
+    # peptide / nucleic links between consecutive residues in a chain
+    for ri in range(len(struct.residues) - 1):
+        r1, r2 = struct.residues[ri], struct.residues[ri + 1]
+        if r1.chain != r2.chain:
+            continue
+        if is_water(r1.name) or is_water(r2.name):
+            continue
+        for (n1, n2, dmax) in (("C", "N", 0.25), ("O3'", "P", 0.25)):
+            if n1 in r1.atom_names and n2 in r2.atom_names:
+                i = r1.atom_indices[r1.atom_names.index(n1)]
+                j = r2.atom_indices[r2.atom_names.index(n2)]
+                d = np.linalg.norm(struct.coords[i] - struct.coords[j])
+                if d < dmax:
+                    bonds.add((min(i, j), max(i, j)))
+    # disulfides (reference: residues.jl:190-349 disulfide detection)
+    sg = [i for i, (nm, el) in enumerate(zip(struct.atom_names, struct.elements))
+          if nm == "SG" and el.upper() == "S"]
+    for a in range(len(sg)):
+        for b in range(a + 1, len(sg)):
+            i, j = sg[a], sg[b]
+            if np.linalg.norm(struct.coords[i] - struct.coords[j]) < 0.25:
+                bonds.add((i, j))
+    for (i, j) in struct.conect:
+        bonds.add((min(i, j), max(i, j)))
+    return sorted(bonds)
+
+
+def _adjacency(n, bonds):
+    adj = [[] for _ in range(n)]
+    for (i, j) in bonds:
+        adj[i].append(j)
+        adj[j].append(i)
+    for lst in adj:
+        lst.sort()
+    return adj
+
+
+def build_angles(adj, bonds):
+    """(i, j, k) with j central, i < k (reference: residues.jl:618-641)."""
+    angles = set()
+    for (b1, b2) in bonds:
+        for a in adj[b1]:
+            if a != b2:
+                angles.add((a, b1, b2) if a < b2 else (b2, b1, a))
+        for a in adj[b2]:
+            if a != b1:
+                angles.add((b1, b2, a) if a > b1 else (a, b2, b1))
+    return sorted(angles)
+
+
+def build_torsions(adj, angles):
+    """(i, j, k, l) proper torsions with i < l ordering convention
+    (residues.jl:644-668)."""
+    tors = set()
+    for (a1, a2, a3) in angles:
+        for a in adj[a1]:
+            if a not in (a1, a2, a3):
+                tors.add((a, a1, a2, a3) if a < a3 else (a3, a2, a1, a))
+        for a in adj[a3]:
+            if a not in (a1, a2, a3):
+                tors.add((a1, a2, a3, a) if a > a1 else (a, a3, a2, a1))
+    return sorted(tors)
+
+
+def build_impropers(adj):
+    """(center, j, k, l) for every atom with >= 3 neighbors, ascending
+    neighbor combinations (residues.jl:713-724)."""
+    imps = []
+    for c, nb in enumerate(adj):
+        if len(nb) > 2:
+            m = len(nb)
+            for x in range(m):
+                for y in range(x + 1, m):
+                    for z in range(y + 1, m):
+                        imps.append((c, nb[x], nb[y], nb[z]))
+    return imps
+
+
+def build_cmaps(adj, torsions):
+    """5-atom CMAP chains from torsions (residues.jl:670-688)."""
+    cmaps = set()
+    for tor in torsions:
+        for a in adj[tor[0]]:
+            if a not in tor:
+                cmaps.add((a,) + tor)
+        for a in adj[tor[3]]:
+            if a not in tor:
+                cmaps.add(tor + (a,))
+    return sorted(cmaps)
+
+
+def bfs_exclusions(adj, n):
+    """(excl_pairs, special_pairs): graph distance 1-2 -> excluded,
+    3 -> special 1-4 (shorter path wins, as in OpenMM/the reference)."""
+    excl, spec = [], []
+    for i in range(n):
+        dist = {i: 0}
+        frontier = [i]
+        for d in (1, 2, 3):
+            nxt = []
+            for a in frontier:
+                for b in adj[a]:
+                    if b not in dist:
+                        dist[b] = d
+                        nxt.append(b)
+            frontier = nxt
+        for j, d in dist.items():
+            if j > i:
+                if d <= 2:
+                    excl.append((i, j))
+                else:
+                    spec.append((i, j))
+    return excl, spec
+
+
+def _improper_ordering(ff, rule, perm, c, j, k, l, struct, type_of):
+    """OpenMM atom-ordering semantics for improper terms; returns the stored
+    atom order (p1, p2, center, p4) with the central atom third
+    (reference: setup.jl:856-1007).
+
+    The matched permutation is applied first so the peripherals sit in the
+    rule's pattern positions; ordering-specific tie-break swaps follow. Amber
+    tie-breaks compare (residue index, position within residue)."""
+    ordering = getattr(rule, "ordering", "default")
+    res_of = struct.res_index_of_atom
+    elements = struct.elements
+
+    # put peripherals in rule-pattern positions (setup.jl:876-883)
+    src = (c, j, k, l)
+    j = src[perm[1] - 1]
+    k = src[perm[2] - 1]
+    l = src[perm[3] - 1]
+
+    def pos_in_res(a):
+        res = struct.residues[res_of[a]]
+        return res.atom_indices.index(a)
+
+    if ordering == "amber":
+        t2, t3, t4 = type_of[j], type_of[k], type_of[l]
+        r2, r3, r4 = res_of[j], res_of[k], res_of[l]
+        n2, n3, n4 = pos_in_res(j), pos_in_res(k), pos_in_res(l)
+        if not rule.has_wild:
+            if t2 == t4 and (r2 > r4 or (r2 == r4 and n2 > n4)):
+                j, l = l, j
+                r2, r4, n2, n4 = r4, r2, n4, n2
+            if t3 == t4 and (r3 > r4 or (r3 == r4 and n3 > n4)):
+                k, l = l, k
+                r3, r4, n3, n4 = r4, r3, n4, n3
+            if t2 == t3 and (r2 > r3 or (r2 == r3 and n2 > n3)):
+                j, k = k, j
+        else:
+            e2, e3, e4 = elements[j], elements[k], elements[l]
+            if e2 == e4 and (r2 > r4 or (r2 == r4 and n2 > n4)):
+                j, l = l, j
+                r2, r4, n2, n4 = r4, r2, n4, n2
+                e2, e4 = e4, e2
+            if e3 == e4 and (r3 > r4 or (r3 == r4 and n3 > n4)):
+                k, l = l, k
+                r3, r4, n3, n4 = r4, r3, n4, n3
+                e3, e4 = e4, e3
+            if r2 > r3 or (r2 == r3 and n2 > n3):
+                j, k = k, j
+        return (j, k, c, l)
+    if ordering == "charmm":
+        if rule.has_wild:
+            e2, e3, e4 = elements[j], elements[k], elements[l]
+            r2, r3, r4 = res_of[j], res_of[k], res_of[l]
+            n2, n3, n4 = pos_in_res(j), pos_in_res(k), pos_in_res(l)
+            if e2 == e4 and (r2 > r4 or (r2 == r4 and n2 > n4)):
+                j, l = l, j
+                r2, r4, n2, n4 = r4, r2, n4, n2
+                e2, e4 = e4, e2
+            if e3 == e4 and (r3 > r4 or (r3 == r4 and n3 > n4)):
+                k, l = l, k
+        return (j, k, c, l)
+    # "default": element/carbon/mass tie-break on the first two peripherals
+    # when the match used a wildcard (OpenMM's amber-consistency workaround)
+    if rule.has_wild:
+        a1, a2, a4 = j, k, l
+        e1, e2 = elements[a1], elements[a2]
+        m1 = ff.atom_types[type_of[a1]].mass
+        m2 = ff.atom_types[type_of[a2]].mass
+        if e1 == e2:
+            if a1 > a2:
+                a1, a2 = a2, a1
+        elif e1 != "C" and (e2 == "C" or m1 < m2):
+            a1, a2 = a2, a1
+        return (a1, a2, c, a4)
+    return (j, k, c, l)
+
+
+def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
+                    dist_neighbors=1.2, neighbor_n_steps=10,
+                    approximate_pme=True, pme_error_tol=0.0005,
+                    solvent_dielectric=78.3, dtype=jnp.float32,
+                    velocities=None, constraints="none", rigid_water=False,
+                    hydrogen_mass=None, center_coords=False,
+                    neighbor_finder="cell", dispersion_correction=True,
+                    implicit_solvent=None, implicit_solvent_kwargs=None):
+    """Build a System from a PDB file and a ForceField.
+
+    nonbonded_method: "cutoff" (LJ truncation + reaction field), "pme"
+    (LJ truncation + CoulombEwald real space + PME reciprocal), or "none"
+    (plain LJ + Coulomb, no cutoff — vacuum). Reference parity:
+    System(coord_file, ff; nonbonded_method), setup.jl:430-533.
+    """
+    struct = read_pdb(path)
+    n = struct.n_atoms
+
+    # template matching + per-atom assignment
+    templates, atom_map = [], []
+    type_of = [None] * n
+    charge_of = np.zeros(n)
+    for res in struct.residues:
+        tmpl = ff.find_template(res.name, res.atom_names)
+        templates.append(tmpl)
+        name_to_global = dict(zip(res.atom_names, res.atom_indices))
+        mapping = {ti: name_to_global[ta.name] for ti, ta in enumerate(tmpl.atoms)}
+        atom_map.append(mapping)
+        for ti, ta in enumerate(tmpl.atoms):
+            g = mapping[ti]
+            type_of[g] = ta.type
+            sig, eps, q_nb = ff.nonbonded_params(ta.type)
+            charge_of[g] = ta.charge if ta.charge is not None else (q_nb or 0.0)
+
+    sigma = np.zeros(n)
+    epsilon = np.zeros(n)
+    mass = np.zeros(n)
+    for g in range(n):
+        t = type_of[g]
+        if t is None:
+            raise ValueError(f"atom {g} ({struct.atom_names[g]}) has no type")
+        sig, eps, _ = ff.nonbonded_params(t)
+        sigma[g] = sig
+        epsilon[g] = eps
+        mass[g] = ff.atom_types[t].mass
+
+    # virtual sites from templates
+    vsite_specs = []
+    for ri, tmpl in enumerate(templates):
+        mapping = atom_map[ri]
+        for vs in tmpl.virtual_sites:
+            parents = tuple(mapping[p] for p in vs.atoms)
+            vsite_specs.append((mapping[vs.index], vs.site_type, parents, vs.weights))
+    for (sidx, _, _, _) in vsite_specs:
+        mass[sidx] = 0.0
+
+    bonds = _build_bonds(struct, templates, atom_map)
+    adj = _adjacency(n, bonds)
+    excl_pairs, spec_pairs = bfs_exclusions(adj, n)
+    # virtual sites inherit their parent's exclusions (OpenMM semantics):
+    # approximated by excluding site-parent pairs and treating the site as
+    # bonded to its first parent in the graph used above only if template
+    # listed a bond. TIP4P templates list no bond to M; add exclusions
+    # manually between each site and everything its first parent excludes.
+    if vsite_specs:
+        excl_set = set(excl_pairs)
+        spec_set = set(spec_pairs)
+        partner_excl = {}
+        for (a, b) in excl_pairs:
+            partner_excl.setdefault(a, set()).add(b)
+            partner_excl.setdefault(b, set()).add(a)
+        partner_spec = {}
+        for (a, b) in spec_pairs:
+            partner_spec.setdefault(a, set()).add(b)
+            partner_spec.setdefault(b, set()).add(a)
+        for (sidx, _, parents, _) in vsite_specs:
+            p0 = parents[0]
+            for q in partner_excl.get(p0, set()) | {p0} | set(parents):
+                if q != sidx:
+                    excl_set.add((min(sidx, q), max(sidx, q)))
+            for q in partner_spec.get(p0, set()):
+                if q != sidx:
+                    spec_set.add((min(sidx, q), max(sidx, q)))
+        excl_pairs = sorted(excl_set)
+        spec_pairs = sorted(s for s in spec_set if s not in excl_set)
+
+    # bonded parameter resolution
+    top_angles = build_angles(adj, bonds)
+    top_torsions = build_torsions(adj, top_angles)
+    top_impropers = build_impropers(adj)
+
+    b_i, b_j, b_k, b_r0 = [], [], [], []
+    constrained_bond_pairs = []
+    for (i, j) in bonds:
+        rule = ff.resolve_bond(type_of[i], type_of[j])
+        if rule is None:
+            continue
+        b_i.append(i)
+        b_j.append(j)
+        b_k.append(rule.k)
+        b_r0.append(rule.length)
+    a_i, a_j, a_k, a_t0, a_kk = [], [], [], [], []
+    ub_rows = []
+    for (i, j, k) in top_angles:
+        rule = ff.resolve_angle(type_of[i], type_of[j], type_of[k])
+        if rule is None:
+            continue
+        a_i.append(i)
+        a_j.append(j)
+        a_k.append(k)
+        a_t0.append(rule.theta0)
+        a_kk.append(rule.k)
+        if rule.ub_k != 0.0:
+            ub_rows.append((i, j, k, rule.k, rule.theta0, rule.ub_k, rule.ub_d))
+    pt_rows = []   # proper periodic torsions (i,j,k,l,per,phase,k)
+    rb_rows = []   # (i,j,k,l,coeffs)
+    for (i, j, k, l) in top_torsions:
+        rule = ff.resolve_proper(type_of[i], type_of[j], type_of[k], type_of[l])
+        if rule is None:
+            continue
+        if hasattr(rule, "terms"):
+            for (per, phase, kk) in rule.terms:
+                if kk != 0.0:
+                    pt_rows.append((i, j, k, l, per, phase, kk))
+        else:
+            rb_rows.append((i, j, k, l, rule.coeffs))
+    imp_rows = []
+    imp_rb_rows = []
+    for (c, j, k, l) in top_impropers:
+        rule, perm = ff.resolve_improper(type_of[c], type_of[j], type_of[k],
+                                         type_of[l])
+        if rule is None:
+            continue
+        (p1, p2, cen, p4) = _improper_ordering(ff, rule, perm, c, j, k, l,
+                                               struct, type_of)
+        if hasattr(rule, "terms"):
+            for (per, phase, kk) in rule.terms:
+                if kk != 0.0:
+                    imp_rows.append((p1, p2, cen, p4, per, phase, kk))
+        else:
+            imp_rb_rows.append((p1, p2, cen, p4, rule.coeffs))
+
+    specific_lists = []
+    if b_i:
+        specific_lists.append(bonded.harmonic_bonds(
+            b_i, b_j, k=jnp.asarray(b_k, dtype), r0=jnp.asarray(b_r0, dtype)))
+    if a_i:
+        specific_lists.append(bonded.harmonic_angles(
+            a_i, a_j, a_k, k=jnp.asarray(a_kk, dtype),
+            theta0=jnp.asarray(a_t0, dtype)))
+    if pt_rows:
+        arr = np.array([r[:4] for r in pt_rows], dtype=np.int64)
+        specific_lists.append(bonded.periodic_torsions(
+            arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+            periodicity=jnp.asarray([r[4] for r in pt_rows], dtype),
+            phase=jnp.asarray([r[5] for r in pt_rows], dtype),
+            k=jnp.asarray([r[6] for r in pt_rows], dtype)))
+    if imp_rows:
+        arr = np.array([r[:4] for r in imp_rows], dtype=np.int64)
+        specific_lists.append(bonded.periodic_torsions(
+            arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+            periodicity=jnp.asarray([r[4] for r in imp_rows], dtype),
+            phase=jnp.asarray([r[5] for r in imp_rows], dtype),
+            k=jnp.asarray([r[6] for r in imp_rows], dtype)))
+    if ub_rows:
+        specific_lists.append(bonded.urey_bradleys(
+            [r[0] for r in ub_rows], [r[1] for r in ub_rows],
+            [r[2] for r in ub_rows],
+            kangle=jnp.zeros(len(ub_rows), dtype),  # angle part already added
+            theta0=jnp.asarray([r[4] for r in ub_rows], dtype),
+            kbond=jnp.asarray([r[5] for r in ub_rows], dtype),
+            r0=jnp.asarray([r[6] for r in ub_rows], dtype)))
+    if rb_rows:
+        arr = np.array([r[:4] for r in rb_rows], dtype=np.int64)
+        specific_lists.append(bonded.rb_torsions(
+            arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+            coeffs=jnp.asarray(np.array([r[4] for r in rb_rows]), dtype)))
+    if imp_rb_rows:
+        arr = np.array([r[:4] for r in imp_rb_rows], dtype=np.int64)
+        specific_lists.append(bonded.rb_torsions(
+            arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+            coeffs=jnp.asarray(np.array([r[4] for r in imp_rb_rows]), dtype)))
+
+    # hydrogen mass repartitioning (setup.jl:1634)
+    if hydrogen_mass is not None:
+        hm = float(hydrogen_mass)
+        if not (0.9 <= hm <= 5.0):
+            raise ValueError("hydrogen_mass must be between ~1 and 5 u")
+        for (i, j) in bonds:
+            hi, hj = struct.elements[i].upper() == "H", struct.elements[j].upper() == "H"
+            if hi and not hj:
+                mass[j] -= hm - mass[i]
+                mass[i] = hm
+            elif hj and not hi:
+                mass[i] -= hm - mass[j]
+                mass[j] = hm
+
+    # boundary + coords
+    if struct.box is None:
+        boundary = bnd.rectangular([np.inf, np.inf, np.inf], dtype=dtype)
+    elif struct.box.ndim == 1:
+        boundary = bnd.rectangular(struct.box, dtype=dtype)
+    else:
+        boundary = bnd.Triclinic(jnp.asarray(struct.box, dtype=dtype))
+    coords = jnp.asarray(struct.coords, dtype=dtype)
+    if center_coords and struct.box is not None:
+        shift = boundary.center() - jnp.mean(coords, axis=0)
+        coords = boundary.wrap(coords + shift)
+
+    # atom type ids (for NBFix lookups)
+    uniq_types = sorted({t for t in type_of})
+    type_id = {t: i for i, t in enumerate(uniq_types)}
+    atoms = make_atoms(
+        n=n, mass=jnp.asarray(mass, dtype), charge=jnp.asarray(charge_of, dtype),
+        sigma=jnp.asarray(sigma, dtype), epsilon=jnp.asarray(epsilon, dtype),
+        atom_type=jnp.asarray([type_id[t] for t in type_of], jnp.int32),
+        dtype=dtype)
+
+    # nonbonded interactions
+    rc = float(dist_cutoff)
+    general = []
+    if nonbonded_method == "cutoff":
+        pairwise = (
+            LennardJones(cutoff=DistanceCutoff(rc), use_neighbors=True,
+                         weight_special=ff.lj14scale),
+            CoulombReactionField(dist_cutoff=rc,
+                                 solvent_dielectric=solvent_dielectric,
+                                 use_neighbors=True,
+                                 weight_special=ff.coulomb14scale),
+        )
+    elif nonbonded_method == "pme":
+        pairwise = (
+            LennardJones(cutoff=DistanceCutoff(rc), use_neighbors=True,
+                         weight_special=ff.lj14scale),
+            CoulombEwald(dist_cutoff=rc, error_tol=pme_error_tol,
+                         use_neighbors=True, weight_special=ff.coulomb14scale,
+                         approximate_erfc=approximate_pme),
+        )
+        general.append(PME.setup(
+            boundary, dist_cutoff=rc, error_tol=pme_error_tol,
+            excl_pairs=excl_pairs + spec_pairs, dtype=dtype))
+    elif nonbonded_method == "none":
+        from ..ops.cutoffs import NoCutoff
+        from ..ops.pairwise import Coulomb
+        pairwise = (
+            LennardJones(weight_special=ff.lj14scale),
+            Coulomb(weight_special=ff.coulomb14scale),
+        )
+    else:
+        raise ValueError(f"unknown nonbonded_method {nonbonded_method}")
+    if dispersion_correction and nonbonded_method in ("cutoff", "pme"):
+        general.append(make_dispersion_correction(sigma, epsilon, rc, dtype))
+
+    if implicit_solvent is not None:
+        from ..ops.gbsa import make_implicit_solvent
+        general.append(make_implicit_solvent(
+            implicit_solvent, struct, bonds, np.asarray(charge_of),
+            dist_cutoff=rc, dtype=dtype, **(implicit_solvent_kwargs or {})))
+
+    # neighbor finder
+    nf = None
+    if nonbonded_method in ("cutoff", "pme"):
+        if neighbor_finder == "cell" and struct.box is not None:
+            nf = CellListNeighborFinder.setup(boundary, float(dist_neighbors), n,
+                                              n_steps=neighbor_n_steps)
+        elif neighbor_finder is not None:
+            nf = DistanceNeighborFinder(dist_cutoff=float(dist_neighbors),
+                                        n_steps=neighbor_n_steps)
+
+    max_excl = max((len([p for p in excl_pairs if g in p]) for g in range(n)),
+                   default=0)
+    exclusions = Exclusions.build(
+        n, excl_pairs, spec_pairs,
+        max_excl=_next8(_max_partners(excl_pairs, n)),
+        max_special=_next8(_max_partners(spec_pairs, n)))
+
+    mol_ids, n_mol = molecule_ids_from_bonds(n, bonds)
+
+    vsites = None
+    if vsite_specs:
+        vsites = VirtualSites.build(vsite_specs, dtype=dtype)
+
+    sys = System(
+        atoms=atoms, coords=coords, boundary=boundary,
+        velocities=velocities,
+        pairwise_inters=pairwise, specific_lists=tuple(specific_lists),
+        general_inters=tuple(general), exclusions=exclusions,
+        neighbor_finder=nf, molecule_ids=mol_ids, n_molecules=n_mol,
+        virtual_sites=vsites)
+
+    if constraints != "none" or rigid_water:
+        from ..ops.constraints import setup_constraints
+        sys = setup_constraints(sys, struct, bonds, b_i, b_j, b_r0,
+                                a_i, a_j, a_k, a_t0, constraints, rigid_water,
+                                dtype=dtype)
+
+    object.__setattr__(sys, "atom_data", AtomData(
+        atom_name=np.asarray(struct.atom_names),
+        residue_name=np.asarray([struct.residues[r].name
+                                 for r in struct.res_index_of_atom]),
+        residue_number=np.asarray([struct.residues[r].number
+                                   for r in struct.res_index_of_atom]),
+        chain_id=np.asarray([struct.residues[r].chain
+                             for r in struct.res_index_of_atom]),
+        element=np.asarray(struct.elements),
+        hetero_atom=np.asarray([struct.residues[r].hetero
+                                for r in struct.res_index_of_atom])))
+    return sys
+
+
+def _max_partners(pairs, n):
+    cnt = np.zeros(n, dtype=np.int64)
+    for (a, b) in pairs:
+        cnt[a] += 1
+        cnt[b] += 1
+    return int(cnt.max()) if len(pairs) else 1
+
+
+def _next8(x):
+    return max(8, int(math.ceil(x / 8.0)) * 8)
+
+
+def make_dispersion_correction(sigma, epsilon, rc, dtype):
+    """Average eps*sigma^6 / eps*sigma^12 over unordered pairs including the
+    diagonal, Lorentz-Berthelot mixing, matching the reference
+    (lennard_jones.jl:168-227). O(N) via binomial moment sums."""
+    sig = np.asarray(sigma, dtype=np.float64)
+    se = np.sqrt(np.maximum(np.asarray(epsilon, dtype=np.float64), 0.0))
+    n = sig.shape[0]
+
+    def pair_mean(power):
+        # sum over ordered pairs of sqrt(ei ej) ((si+sj)/2)^power
+        from math import comb
+        total = 0.0
+        moms = [np.sum(se * sig ** k) for k in range(power + 1)]
+        for k in range(power + 1):
+            total += comb(power, k) * moms[k] * moms[power - k]
+        total /= 2.0 ** power
+        diag = np.sum(se * se * sig ** power)
+        n_pairs = n * (n + 1) / 2.0
+        return (total + diag) / 2.0 / n_pairs
+
+    es6 = pair_mean(6)
+    es12 = pair_mean(12)
+    f6 = 8.0 * math.pi * n * n * (-es6 / (3.0 * rc ** 3))
+    f12 = 8.0 * math.pi * n * n * (es12 / (9.0 * rc ** 9))
+    return LJDispersionCorrection(factor_6=float(f6), factor_12=float(f12),
+                                  dist_cutoff=float(rc))

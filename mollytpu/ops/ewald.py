@@ -1,0 +1,418 @@
+"""Long-range electrostatics: Ewald summation and smooth particle-mesh Ewald.
+
+TPU-native re-design of /root/reference/src/interactions/ewald.jl:
+  Ewald reference k-space sum            (:77-283)   -> vectorized k-cube sum
+  PME pipeline: pme_params (:479), B-spline moduli (:311), grid placement
+  (:484), order-5 spline recursion (:518-568), charge spreading (:630-676),
+  FFT + influence-function convolution with reciprocal virial (:677-817),
+  force gather (:819-893), exclusions (:946), self/charge corrections.
+
+Mapping to XLA: the scatter in charge spreading becomes a single fused
+scatter-add over a flat mesh (no atomics, deterministic), the in-place FFTW
+plans become jnp.fft.fftn/ifftn (XLA batched FFT on TPU), and the influence
+function + reciprocal virial are one fused elementwise pass over the k-grid.
+Forces come from the analytic derivative B-splines, as in the reference, so
+no autodiff through the FFT is needed on the hot path (but the whole module
+is still jax-differentiable for gradient work, replacing the reference's
+Enzyme FFT rules, ext/MollyEnzymeExt.jl:47-102).
+
+Sign conventions: energies in kJ/mol; virial W_ab = -dE/d(strain_ab), matching
+the pairwise -(dU/dr/r) dr (x) dr convention of the engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import COULOMB_CONST
+from ..free_energy.alchemy import DefaultLambdaScheduler, scaled_charge
+from .general import GeneralInteraction
+
+
+def _register(cls, data_fields, meta_fields=()):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+def ewald_error_alpha(dist_cutoff, error_tol=0.0005):
+    """alpha = sqrt(-log(2 tol)) / rc (OpenMM/reference convention)."""
+    return math.sqrt(-math.log(2.0 * error_tol)) / dist_cutoff
+
+
+def _smooth_size(n):
+    """Smallest 2,3,5-smooth integer >= n (FFT-friendly mesh dims)."""
+    def is_smooth(x):
+        for p in (2, 3, 5):
+            while x % p == 0:
+                x //= p
+        return x == 1
+
+    while not is_smooth(n):
+        n += 1
+    return n
+
+
+def pme_mesh_dims(side_lengths, alpha, error_tol):
+    """ceil(2 alpha L / (3 tol^(1/5))), min 6, rounded up to FFT-smooth
+    (reference: pme_params, ewald.jl:479-482)."""
+    dims = []
+    for L in np.asarray(side_lengths, dtype=np.float64):
+        s = int(math.ceil(2.0 * alpha * float(L) / (3.0 * error_tol ** 0.2)))
+        dims.append(_smooth_size(max(s, 6)))
+    return tuple(dims)
+
+
+def bspline_moduli(order, mesh_dims, dtype=np.float64):
+    """|DFT of the cardinal B-spline|^2 per mesh dimension, with the zero
+    (or near-zero) entries patched by neighbor averaging as in OpenMM and
+    the reference (ewald.jl:311-361). Host-side setup."""
+    # B-spline values at integer nodes 1..order-1 (M_order(j))
+    data = np.zeros(order, dtype=np.float64)
+    data[0] = 1.0
+    for k in range(3, order + 1):
+        d = 1.0 / (k - 1)
+        new = np.zeros(order)
+        new[k - 1] = 0.0
+        for j in range(1, k - 1):
+            new[k - 1 - j] = d * ((j) * data[k - 2 - j] + (k - j) * data[k - 1 - j])
+        # j = k-1 term
+        new[0] = d * data[0]
+        data = new
+    out = []
+    for K in mesh_dims:
+        m = np.arange(K)
+        # spline spans nodes 0..order-1 with values data[j]
+        phases = np.exp(2j * np.pi * np.outer(m, np.arange(order)) / K)
+        s = phases @ data
+        mod = np.abs(s) ** 2
+        # patch zeros (odd interpolation orders on even grids)
+        eps = 1e-7 * mod.max()
+        for i in range(K):
+            if mod[i] < eps:
+                mod[i] = 0.5 * (mod[(i - 1) % K] + mod[(i + 1) % K])
+        out.append(mod.astype(dtype))
+    return out
+
+
+def bspline_weights(w, order=5):
+    """Order-`order` cardinal B-spline weights and derivatives at fractional
+    offsets w in [0,1). w: (...,) -> (theta, dtheta): (..., order).
+    Vectorized form of the reference's update_bsplines! recursion
+    (ewald.jl:518-568)."""
+    dtype = w.dtype
+    shape = w.shape
+    th = [jnp.zeros(shape, dtype) for _ in range(order)]
+    th[0] = 1.0 - w
+    th[1] = w
+    for k in range(3, order):
+        d = 1.0 / (k - 1)
+        new = [jnp.zeros(shape, dtype) for _ in range(order)]
+        new[k - 1] = d * w * th[k - 2]
+        for j in range(1, k - 1):
+            new[k - 1 - j] = d * ((w + j) * th[k - 2 - j] + (k - j - w) * th[k - 1 - j])
+        new[0] = d * (1.0 - w) * th[0]
+        th = new
+    # derivative from order-1 splines: dM_n(u) = M_{n-1}(u) - M_{n-1}(u-1)
+    dth = [jnp.zeros(shape, dtype) for _ in range(order)]
+    dth[0] = -th[0]
+    for j in range(1, order):
+        dth[j] = th[j - 1] - th[j]
+    # final recursion step to order
+    d = 1.0 / (order - 1)
+    new = [jnp.zeros(shape, dtype) for _ in range(order)]
+    new[order - 1] = d * w * th[order - 2]
+    for j in range(1, order - 1):
+        new[order - 1 - j] = d * ((w + j) * th[order - 2 - j]
+                                  + (order - j - w) * th[order - 1 - j])
+    new[0] = d * (1.0 - w) * th[0]
+    theta = jnp.stack(new, axis=-1)
+    dtheta = jnp.stack(dth, axis=-1)
+    return theta, dtheta
+
+
+def _effective_charges(atoms, scheduler):
+    q = atoms.charge
+    if scheduler is not None and atoms.lam is not None and atoms.alch_role is not None:
+        q = scaled_charge(scheduler, q, atoms.lam, atoms.alch_role)
+    return q
+
+
+def _corrections(q, alpha, volume, ke):
+    """Self energy + non-neutral background correction."""
+    e_self = -ke * alpha / math.sqrt(math.pi) * jnp.sum(q * q)
+    qtot = jnp.sum(q)
+    e_charge = -ke * math.pi / (2.0 * alpha ** 2) * qtot * qtot / volume
+    return e_self, e_charge
+
+
+def _exclusion_energy(q, coords, boundary, alpha, ke, excl_i, excl_j):
+    """-ke qi qj erf(alpha r)/r for pairs removed from the Ewald sum
+    (reference: EwaldExclusion, ewald.jl:978-1008)."""
+    if excl_i.shape[0] == 0:
+        return jnp.zeros((), dtype=coords.dtype)
+    dr = boundary.displacement(coords[excl_i], coords[excl_j])
+    r = jnp.sqrt(jnp.sum(dr * dr, axis=-1) + 1e-24)
+    return -ke * jnp.sum(q[excl_i] * q[excl_j] * jax.scipy.special.erf(alpha * r) / r)
+
+
+def _exclusion_force_virial(q, coords, boundary, alpha, ke, excl_i, excl_j, n,
+                            needs_virial):
+    d = coords.shape[1]
+    zero_vir = jnp.zeros((d, d), dtype=coords.dtype)
+    if excl_i.shape[0] == 0:
+        return jnp.zeros_like(coords), zero_vir
+    dr = boundary.displacement(coords[excl_i], coords[excl_j])  # xj - xi
+    r2 = jnp.sum(dr * dr, axis=-1)
+    r = jnp.sqrt(r2 + 1e-24)
+    qq = q[excl_i] * q[excl_j]
+    # U = -ke qq erf(a r)/r ; dU/dr = -ke qq (2a/sqrt(pi) exp(-a^2 r^2)/r - erf(ar)/r^2)
+    erf_ar = jax.scipy.special.erf(alpha * r)
+    dudr = -ke * qq * (2.0 * alpha / math.sqrt(math.pi) * jnp.exp(-(alpha * r) ** 2) / r
+                       - erf_ar / r2)
+    coef = dudr / r
+    fi = coef[:, None] * dr  # force on i
+    forces = jnp.zeros((n, d), dtype=coords.dtype)
+    forces = forces.at[excl_i].add(fi)
+    forces = forces.at[excl_j].add(-fi)
+    vir = -jnp.einsum("k,kd,ke->de", coef, dr, dr) if needs_virial else zero_vir
+    return forces, vir
+
+
+@dataclasses.dataclass(frozen=True)
+class Ewald(GeneralInteraction):
+    """Reference O(N^2 k) Ewald reciprocal sum over a fixed k-space cube —
+    the correctness oracle for PME (reference: ewald.jl:77-283). Orthorhombic
+    boxes. Includes self/charge corrections and exclusion subtraction; pair
+    it with CoulombEwald for the real-space part."""
+
+    dist_cutoff: float = 1.0
+    error_tol: float = 0.0005
+    kmax: int = dataclasses.field(default=12, metadata={"static": True})
+    coulomb_const: float = COULOMB_CONST
+    alpha: float = None
+    excl_i: jax.Array = None  # all pairs removed from the recip sum
+    excl_j: jax.Array = None
+    scheduler: object = dataclasses.field(default=None, metadata={"static": True})
+
+    def __post_init__(self):
+        if self.alpha is None:
+            object.__setattr__(self, "alpha",
+                               ewald_error_alpha(self.dist_cutoff, self.error_tol))
+        if self.excl_i is None:
+            object.__setattr__(self, "excl_i", jnp.zeros((0,), jnp.int32))
+            object.__setattr__(self, "excl_j", jnp.zeros((0,), jnp.int32))
+
+    def energy(self, coords, boundary, atoms):
+        ke = self.coulomb_const
+        alpha = self.alpha
+        q = _effective_charges(atoms, self.scheduler)
+        box = boundary.side_lengths
+        vol = boundary.volume()
+        km = self.kmax
+        ints = jnp.arange(-km, km + 1)
+        kx, ky, kz = jnp.meshgrid(ints, ints, ints, indexing="ij")
+        kvec = jnp.stack([kx, ky, kz], axis=-1).reshape(-1, 3).astype(coords.dtype)
+        nonzero = jnp.any(kvec != 0, axis=1)
+        kfac = 2.0 * jnp.pi * kvec / box[None, :]
+        k2 = jnp.sum(kfac * kfac, axis=-1)
+        k2s = jnp.where(nonzero, k2, 1.0)
+        phases = coords @ kfac.T  # (N, K)
+        s_re = jnp.sum(q[:, None] * jnp.cos(phases), axis=0)
+        s_im = jnp.sum(q[:, None] * jnp.sin(phases), axis=0)
+        s2 = s_re ** 2 + s_im ** 2
+        terms = jnp.where(nonzero,
+                          jnp.exp(-k2s / (4.0 * alpha ** 2)) / k2s * s2, 0.0)
+        e_recip = ke * 2.0 * jnp.pi / vol * jnp.sum(terms)
+        e_self, e_charge = _corrections(q, alpha, vol, ke)
+        e_excl = _exclusion_energy(q, coords, boundary, alpha, ke,
+                                   self.excl_i, self.excl_j)
+        return e_recip + e_self + e_charge + e_excl
+
+
+_register(Ewald, ["dist_cutoff", "error_tol", "coulomb_const", "alpha",
+                  "excl_i", "excl_j"],
+          ["kmax", "scheduler"])
+
+
+@dataclasses.dataclass(frozen=True)
+class PME(GeneralInteraction):
+    """Smooth particle-mesh Ewald reciprocal part + corrections.
+
+    Use with CoulombEwald (real-space erfc) as the pairwise partner; pass all
+    excluded AND special (1-4) pairs as excl_i/excl_j — their reciprocal-space
+    interaction is subtracted here while CoulombEwald handles their weighted
+    direct term, exactly the reference's CoulombEwald + EwaldExclusion split.
+    """
+
+    dist_cutoff: float = 1.0
+    error_tol: float = 0.0005
+    order: int = dataclasses.field(default=5, metadata={"static": True})
+    mesh_dims: tuple = dataclasses.field(default=None, metadata={"static": True})
+    coulomb_const: float = COULOMB_CONST
+    epsilon_r: float = 1.0
+    alpha: float = None
+    moduli_x: jax.Array = None
+    moduli_y: jax.Array = None
+    moduli_z: jax.Array = None
+    excl_i: jax.Array = None
+    excl_j: jax.Array = None
+    scheduler: object = dataclasses.field(default=None, metadata={"static": True})
+
+    @classmethod
+    def setup(cls, boundary, dist_cutoff=1.0, error_tol=0.0005, order=5,
+              excl_pairs=None, epsilon_r=1.0, dtype=jnp.float32,
+              scheduler=None, mesh_dims=None):
+        alpha = ewald_error_alpha(dist_cutoff, error_tol)
+        sides = np.asarray(jax.device_get(boundary.side_lengths))
+        if mesh_dims is None:
+            mesh_dims = pme_mesh_dims(sides, alpha, error_tol)
+        mods = bspline_moduli(order, mesh_dims)
+        if excl_pairs is None or len(excl_pairs) == 0:
+            ei = jnp.zeros((0,), jnp.int32)
+            ej = jnp.zeros((0,), jnp.int32)
+        else:
+            arr = np.asarray(excl_pairs, dtype=np.int32).reshape(-1, 2)
+            ei, ej = jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1])
+        return cls(dist_cutoff=float(dist_cutoff), error_tol=float(error_tol),
+                   order=order, mesh_dims=tuple(int(x) for x in mesh_dims),
+                   epsilon_r=float(epsilon_r), alpha=float(alpha),
+                   moduli_x=jnp.asarray(mods[0], dtype=dtype),
+                   moduli_y=jnp.asarray(mods[1], dtype=dtype),
+                   moduli_z=jnp.asarray(mods[2], dtype=dtype),
+                   excl_i=ei, excl_j=ej, scheduler=scheduler)
+
+    # -- core pipeline ------------------------------------------------------
+
+    def _spread(self, coords, boundary, q):
+        """Charge spreading: returns (grid (K1,K2,K3), idx0 (N,3) int32,
+        theta (N,3,order), dtheta (N,3,order))."""
+        order = self.order
+        K = jnp.asarray(self.mesh_dims, dtype=jnp.int32)
+        recip = jnp.linalg.inv(boundary.box_matrix())  # f = x @ recip
+        t = coords @ recip  # fractional
+        t = (t - jnp.floor(t)) * jnp.asarray(self.mesh_dims, dtype=coords.dtype)
+        ti = jnp.floor(t).astype(jnp.int32)
+        w = t - ti
+        theta, dtheta = bspline_weights(w, order)  # (N, 3, order)
+        offs = jnp.arange(order, dtype=jnp.int32)
+        gx = (ti[:, 0:1] + offs[None, :]) % self.mesh_dims[0]  # (N, order)
+        gy = (ti[:, 1:2] + offs[None, :]) % self.mesh_dims[1]
+        gz = (ti[:, 2:3] + offs[None, :]) % self.mesh_dims[2]
+        wxyz = (theta[:, 0, :, None, None] * theta[:, 1, None, :, None]
+                * theta[:, 2, None, None, :]) * q[:, None, None, None]
+        flat_idx = ((gx[:, :, None, None] * self.mesh_dims[1]
+                     + gy[:, None, :, None]) * self.mesh_dims[2]
+                    + gz[:, None, None, :])
+        grid = jnp.zeros((self.mesh_dims[0] * self.mesh_dims[1] * self.mesh_dims[2],),
+                         dtype=coords.dtype)
+        grid = grid.at[flat_idx.reshape(-1)].add(wxyz.reshape(-1))
+        return grid.reshape(self.mesh_dims), (gx, gy, gz), theta, dtheta, recip
+
+    def _influence(self, boundary, dtype):
+        """Elementwise k-grid factor eterm(m) (excluding ke/epsr) and the m
+        vectors; zero at m = 0."""
+        K1, K2, K3 = self.mesh_dims
+        recip = jnp.linalg.inv(boundary.box_matrix())
+        vol = boundary.volume()
+
+        def wrapped(K):
+            m = jnp.arange(K)
+            return jnp.where(m < (K + 1) // 2, m, m - K).astype(dtype)
+
+        mx, my, mz = wrapped(K1), wrapped(K2), wrapped(K3)
+        # reciprocal vectors: mh = mx a*_1 + my a*_2 + mz a*_3, a*_d = recip[:, d]... rows?
+        # f = x @ recip so df/dx = recip: column d of recip is grad of f_d.
+        astar = recip.T  # astar[d] = gradient of fractional coord d
+        mh = (mx[:, None, None, None] * astar[0]
+              + my[None, :, None, None] * astar[1]
+              + mz[None, None, :, None] * astar[2])  # (K1,K2,K3,3)
+        m2 = jnp.sum(mh * mh, axis=-1)
+        bsm = (self.moduli_x[:, None, None] * self.moduli_y[None, :, None]
+               * self.moduli_z[None, None, :])
+        factor = (jnp.pi ** 2) / (self.alpha ** 2)
+        denom = m2 * bsm * (jnp.pi * vol)
+        nonzero = m2 > 0
+        denom = jnp.where(nonzero, denom, 1.0)
+        eterm = jnp.where(nonzero, jnp.exp(-factor * jnp.where(nonzero, m2, 1.0)) / denom, 0.0)
+        return eterm.astype(dtype), mh.astype(dtype), m2.astype(dtype), factor
+
+    def _recip_energy_grid(self, coords, boundary, q, needs_virial=False):
+        """Returns (E_recip, convolved real-space grid, spread cache, virial)."""
+        dtype = coords.dtype
+        grid, gidx, theta, dtheta, recip = self._spread(coords, boundary, q)
+        ke = self.coulomb_const / self.epsilon_r
+        cgrid = jnp.fft.fftn(grid.astype(
+            jnp.complex128 if dtype == jnp.float64 else jnp.complex64))
+        eterm, mh, m2, factor = self._influence(boundary, dtype)
+        s2 = jnp.real(cgrid) ** 2 + jnp.imag(cgrid) ** 2
+        ek = eterm * s2  # per-mode energy (unscaled by ke/2)
+        e_recip = 0.5 * ke * jnp.sum(ek)
+        d = coords.shape[1]
+        vir = jnp.zeros((d, d), dtype=dtype)
+        if needs_virial:
+            m2s = jnp.where(m2 > 0, m2, 1.0)
+            coeff = 2.0 * (1.0 + factor * m2) / m2s
+            # W = sum_k (ke/2) ek [I - coeff m (x) m]
+            w_iso = 0.5 * ke * jnp.sum(ek)
+            mm = jnp.einsum("xyz,xyza,xyzb->ab", 0.5 * ke * ek * coeff, mh, mh)
+            vir = w_iso * jnp.eye(d, dtype=dtype) - mm
+        conv = jnp.fft.ifftn(cgrid * eterm) * (
+            self.mesh_dims[0] * self.mesh_dims[1] * self.mesh_dims[2])
+        # ifftn includes 1/K^3; the reference uses unnormalized bfft. The
+        # potential grid used for gather is phi = Re(bfft(eterm * S)).
+        phi = jnp.real(conv).astype(dtype)
+        return e_recip, phi, (gidx, theta, dtheta, recip), vir
+
+    def energy(self, coords, boundary, atoms):
+        q = _effective_charges(atoms, self.scheduler)
+        ke = self.coulomb_const / self.epsilon_r
+        e_recip, _, _, _ = self._recip_energy_grid(coords, boundary, q)
+        e_self, e_charge = _corrections(q, self.alpha, boundary.volume(), ke)
+        e_excl = _exclusion_energy(q, coords, boundary, self.alpha, ke,
+                                   self.excl_i, self.excl_j)
+        return e_recip + e_self + e_charge + e_excl
+
+    def force_virial(self, coords, boundary, atoms, needs_virial=False):
+        n, d = coords.shape
+        dtype = coords.dtype
+        q = _effective_charges(atoms, self.scheduler)
+        ke = self.coulomb_const / self.epsilon_r
+        e_recip, phi, (gidx, theta, dtheta, recip), vir = self._recip_energy_grid(
+            coords, boundary, q, needs_virial=needs_virial)
+        gx, gy, gz = gidx
+        # gather phi at each atom's order^3 stencil
+        flat_idx = ((gx[:, :, None, None] * self.mesh_dims[1]
+                     + gy[:, None, :, None]) * self.mesh_dims[2]
+                    + gz[:, None, None, :])
+        phi_flat = phi.reshape(-1)
+        ph = phi_flat[flat_idx]  # (N, o, o, o)
+        tx, ty, tz = theta[:, 0], theta[:, 1], theta[:, 2]       # (N, o)
+        dx, dy, dz = dtheta[:, 0], dtheta[:, 1], dtheta[:, 2]
+        # dE/du_d = q * K_d * sum dtheta_d theta_e theta_f phi
+        du1 = jnp.einsum("nxyz,nx,ny,nz->n", ph, dx, ty, tz) * self.mesh_dims[0]
+        du2 = jnp.einsum("nxyz,nx,ny,nz->n", ph, tx, dy, tz) * self.mesh_dims[1]
+        du3 = jnp.einsum("nxyz,nx,ny,nz->n", ph, tx, ty, dz) * self.mesh_dims[2]
+        du = jnp.stack([du1, du2, du3], axis=-1) * q[:, None] * ke
+        # chain rule through fractional coords: dE/dx = du @ recip^T  (f = x @ recip)
+        forces = -(du @ recip.T).astype(dtype)
+        # exclusion + self/charge corrections
+        f_ex, v_ex = _exclusion_force_virial(q, coords, boundary, self.alpha, ke,
+                                             self.excl_i, self.excl_j, n, needs_virial)
+        forces = forces + f_ex
+        if needs_virial:
+            # charge correction E ~ 1/V -> W = E I; self energy V-independent
+            _, e_charge = _corrections(q, self.alpha, boundary.volume(), ke)
+            vir = vir + v_ex + e_charge * jnp.eye(d, dtype=dtype)
+        return forces, vir
+
+
+_register(PME, ["dist_cutoff", "error_tol", "coulomb_const", "epsilon_r",
+                "alpha", "moduli_x", "moduli_y", "moduli_z", "excl_i", "excl_j"],
+          ["order", "mesh_dims", "scheduler"])

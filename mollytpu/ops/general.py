@@ -94,44 +94,37 @@ _register(MullerBrown, ["A", "a", "b", "c", "x0", "y0"])
 
 @dataclasses.dataclass(frozen=True)
 class LJDispersionCorrection(GeneralInteraction):
-    """Long-range LJ tail correction beyond the cutoff with analytic virial
-    (lennard_jones.jl LJDispersionCorrection): E = -2 pi N^2 <C6> / (3 V rc^3)
-    using the mean C6 = 4 eps sigma^6 over all atom pairs.
+    """Long-range LJ tail correction beyond a hard distance cutoff, with the
+    reference's precomputed-factor form (lennard_jones.jl:163-270):
 
-    Coordinates do not enter: forces are zero, but the energy and virial
-    depend on the box volume, which matters for NPT.
+        E = (factor_6 + factor_12) / V
+        factor_6  = 8 pi N^2 (-<eps sigma^6> / (3 rc^3))
+        factor_12 = 8 pi N^2 (+<eps sigma^12> / (9 rc^9))
+
+    with the pair means over unordered pairs including the diagonal. The
+    factors assume sigma/epsilon fixed after setup; only V may change (NPT).
+    Forces are zero; the mechanical tail virial is W_dd = 2 U6 + 4 U12
+    (r^-n term contributes (n/3) U_n per diagonal component).
+
+    Build via mollytpu.models.setup.make_dispersion_correction.
     """
 
+    factor_6: float = 0.0
+    factor_12: float = 0.0
     dist_cutoff: float = 1.0
 
     def energy(self, coords, boundary, atoms):
-        n = coords.shape[0]
-        sig = atoms.sigma
-        eps = atoms.epsilon
-        # <C6> over pairs with Lorentz-Berthelot mixing ~ mean over the outer
-        # products; computed exactly via moment sums in O(N).
-        # C6_ij = 4 eps_ij sigma_ij^6, sigma_ij = (si+sj)/2, eps_ij = sqrt(ei ej)
-        # Expand sigma_ij^6 via binomial moments of si^k.
-        se = jnp.sqrt(jnp.maximum(eps, 0.0))
-        mom = [jnp.sum(se * sig ** k) for k in range(7)]
-        binom = [1.0, 6.0, 15.0, 20.0, 15.0, 6.0, 1.0]
-        pair_sum = 0.0
-        for k in range(7):
-            pair_sum = pair_sum + binom[k] * mom[k] * mom[6 - k]
-        c6_sum = 4.0 * pair_sum / 64.0  # ((si+sj)/2)^6 expansion
-        vol = boundary.volume()
-        return -2.0 * jnp.pi * c6_sum / (3.0 * vol * self.dist_cutoff ** 3)
+        return (self.factor_6 + self.factor_12) / boundary.volume()
 
     def force_virial(self, coords, boundary, atoms, needs_virial=False):
         d = coords.shape[1]
         vir = jnp.zeros((d, d), dtype=coords.dtype)
         if needs_virial:
-            # E ~ 1/V: under isotropic strain dE/deps = -3 E; W_aa = E per axis
-            # (standard result: virial of the tail correction equals 3 E_tail
-            # distributed isotropically -> scalar virial W = 3 E).
-            e = self.energy(coords, boundary, atoms)
-            vir = jnp.eye(d, dtype=coords.dtype) * e
+            vol = boundary.volume()
+            u6 = self.factor_6 / vol
+            u12 = self.factor_12 / vol
+            vir = jnp.eye(d, dtype=coords.dtype) * (2.0 * u6 + 4.0 * u12)
         return jnp.zeros_like(coords), vir
 
 
-_register(LJDispersionCorrection, ["dist_cutoff"])
+_register(LJDispersionCorrection, ["factor_6", "factor_12", "dist_cutoff"])

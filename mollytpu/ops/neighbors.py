@@ -64,16 +64,28 @@ def _membership(table_row, js):
 
 
 def _compact_rows(cand_j, valid, special, k_max, n_atoms):
-    """Per-row: move valid candidates to the front, truncate to k_max."""
-    # Sort key: invalid -> large. argsort is stable so order is preserved.
-    order = jnp.argsort(jnp.where(valid, 0, 1), axis=1, stable=True)
-    cand_sorted = jnp.take_along_axis(cand_j, order, axis=1)[:, :k_max]
-    valid_sorted = jnp.take_along_axis(valid, order, axis=1)[:, :k_max]
-    spec_sorted = jnp.take_along_axis(special, order, axis=1)[:, :k_max]
-    idx = jnp.where(valid_sorted, cand_sorted, n_atoms).astype(jnp.int32)
+    """Per-row: move valid candidates to the front, truncate to k_max.
+
+    Uses cumsum ranking + scatter rather than a sort: the candidate matrix is
+    large (N x stencil*capacity) and a row sort at every rebuild dominated
+    step time on TPU."""
+    n = cand_j.shape[0]
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1  # position among valid
+    rank = jnp.where(valid, rank, k_max)  # invalid -> dropped slot
+    rank_c = jnp.minimum(rank, k_max)
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], cand_j.shape)
+    flat = rows * (k_max + 1) + rank_c
+    idx_buf = jnp.full((n * (k_max + 1),), n_atoms, dtype=jnp.int32)
+    idx_buf = idx_buf.at[flat.reshape(-1)].set(
+        jnp.where(valid, cand_j, n_atoms).astype(jnp.int32).reshape(-1), mode="drop")
+    spec_buf = jnp.zeros((n * (k_max + 1),), dtype=bool)
+    spec_buf = spec_buf.at[flat.reshape(-1)].set(
+        (special & valid).reshape(-1), mode="drop")
+    idx = idx_buf.reshape(n, k_max + 1)[:, :k_max]
+    spec = spec_buf.reshape(n, k_max + 1)[:, :k_max]
     counts = jnp.sum(valid, axis=1)
     overflow = jnp.maximum(jnp.max(counts) - k_max, 0).astype(jnp.int32)
-    return idx, spec_sorted & valid_sorted, overflow
+    return idx, spec, overflow
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,8 +113,10 @@ class DistanceNeighborFinder:
 
     def find(self, coords, boundary, exclusions, step_n=0):
         n = coords.shape[0]
-        dr = jax.vmap(lambda xi: boundary.displacement(xi[None, :], coords))(coords)
-        d2 = jnp.sum(dr * dr, axis=-1)  # (N, N)
+        ndim = coords.shape[1]
+        diffs = tuple(coords[:, k][None, :] - coords[:, k][:, None] for k in range(ndim))
+        drs = boundary.mic_parts(diffs)
+        d2 = sum(x * x for x in drs)  # (N, N)
         js = jnp.arange(n)
         upper = js[None, :] > js[:, None]
         within = d2 < self.dist_cutoff ** 2
@@ -143,13 +157,16 @@ class CellListNeighborFinder:
         n_cells = int(np.prod(dims))
         per_cell = n_atoms / max(n_cells, 1)
         if cell_capacity is None:
-            cell_capacity = int(max(16, math.ceil(per_cell * density_factor)))
+            # mean + 6 sigma Poisson headroom (padding a dense cell grid with
+            # a flat multiplier wastes memory at high mean occupancy)
+            cell_capacity = int(max(16, math.ceil(per_cell + 6.0 * math.sqrt(per_cell) + 4)))
         if max_neighbors is None:
             # half-sphere of radius rc at the mean density, padded
             vol = float(np.prod(sides))
             dens = n_atoms / vol
             half_sphere = 0.5 * 4.0 / 3.0 * math.pi * dist_cutoff ** 3 * dens
-            max_neighbors = int(max(16, math.ceil(half_sphere * density_factor)))
+            max_neighbors = int(max(16, math.ceil(
+                half_sphere + 6.0 * math.sqrt(half_sphere) + 8)))
         return cls(dist_cutoff=dist_cutoff, grid_dims=dims, n_steps=n_steps,
                    max_neighbors=max_neighbors, cell_capacity=cell_capacity)
 
@@ -204,9 +221,11 @@ class CellListNeighborFinder:
 
         js = cand
         safe_j = jnp.minimum(js, n - 1)
-        dr = jax.vmap(lambda xi, jrow: boundary.displacement(xi[None, :], coords[jrow]))(
-            coords, safe_j)
-        d2 = jnp.sum(dr * dr, axis=-1)
+        # Component-wise distances: a (N, M*cap, 3) array would be padded
+        # 43x by TPU minor-dim tiling.
+        diffs = tuple(coords[:, k][safe_j] - coords[:, k][:, None] for k in range(3))
+        drs = boundary.mic_parts(diffs)
+        d2 = drs[0] ** 2 + drs[1] ** 2 + drs[2] ** 2
         in_range = (js < n) & (js > jnp.arange(n)[:, None]) & (d2 < self.dist_cutoff ** 2)
         excl = jax.vmap(_membership)(exclusions.excl_table, safe_j)
         spec = jax.vmap(_membership)(exclusions.spec_table, safe_j)

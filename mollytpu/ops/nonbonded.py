@@ -8,8 +8,11 @@ segment-sum instead of atomics, and the pair virial accumulates as
 -(dU/dr / r) dr (x) dr, matching the reference's dr (x) f convention
 (src/force.jl:849-851).
 
-The separately-optimized Pallas tile kernel (pallas_pairwise.py) implements
-the same contract for the dominant LJ + Coulomb/RF case.
+TPU layout: pair geometry is kept as per-component (N, K) / (N, N) arrays —
+never (N, K, 3) — because TPU tiling pads the minor dimension to 128 and a
+trailing 3 wastes 43x memory/bandwidth. The separately-optimized Pallas tile
+kernel (pallas_pairwise.py) implements the same contract for the dominant
+LJ + Coulomb/RF case.
 """
 
 from __future__ import annotations
@@ -34,6 +37,10 @@ def _pair_energy_fn(inters):
     return e
 
 
+def _gather_atoms(atoms, idx):
+    return jax.tree.map(lambda a: a[idx] if a is not None else None, atoms)
+
+
 def dense_pair_mask(n_atoms, exclusions, dtype=jnp.int8):
     """(N, N) pair codes: 0 normal, 1 excluded (incl. diagonal), 2 special."""
     mask = jnp.zeros((n_atoms, n_atoms), dtype=dtype)
@@ -48,16 +55,42 @@ def dense_pair_mask(n_atoms, exclusions, dtype=jnp.int8):
     return mask
 
 
+def _dense_geometry(coords, boundary):
+    """Per-component (N, N) displacement arrays dr[d][i, j] = xj_d - xi_d
+    (minimum image) and r^2."""
+    d = coords.shape[1]
+    comps = tuple(coords[:, k] for k in range(d))
+    diffs = tuple(c[None, :] - c[:, None] for c in comps)
+    drs = boundary.mic_parts(diffs)
+    r2 = sum(x * x for x in drs)
+    return drs, r2
+
+
+def _neighbor_geometry(coords, boundary, safe_j):
+    d = coords.shape[1]
+    comps = tuple(coords[:, k] for k in range(d))
+    diffs = tuple(c[safe_j] - c[:, None] for c in comps)
+    drs = boundary.mic_parts(diffs)
+    r2 = sum(x * x for x in drs)
+    return drs, r2
+
+
+def _virial_from_components(coef, drs, dtype, scale=1.0):
+    d = len(drs)
+    rows = []
+    for a in range(d):
+        row = [jnp.sum(coef * drs[a] * drs[b]) for b in range(d)]
+        rows.append(jnp.stack(row))
+    return (-scale) * jnp.stack(rows).astype(dtype)
+
+
 def dense_energy(inters, atoms, coords, boundary, pair_mask):
-    """All-pairs energy: 1/2 sum over ordered pairs (both orderings computed;
-    XLA keeps this a single fused elementwise pass over (N, N))."""
+    """All-pairs energy: 1/2 sum over ordered pairs (one fused elementwise
+    pass over (N, N))."""
     if not inters:
         return jnp.zeros((), dtype=coords.dtype)
-    n = coords.shape[0]
     e_fn = _pair_energy_fn(inters)
-
-    dr = jax.vmap(lambda xi: boundary.displacement(xi[None, :], coords))(coords)
-    d2 = jnp.sum(dr * dr, axis=-1)
+    _, d2 = _dense_geometry(coords, boundary)
     live = pair_mask != 1
     special = pair_mask == 2
     r = jnp.sqrt(jnp.where(live, d2, 1.0))
@@ -80,8 +113,7 @@ def dense_forces(inters, atoms, coords, boundary, pair_mask, velocities=None,
         return jnp.zeros_like(coords), zero_vir
     cons, veldep = _split_inters(inters)
 
-    dr = jax.vmap(lambda xi: boundary.displacement(xi[None, :], coords))(coords)  # dr[i,j] = xj - xi
-    d2 = jnp.sum(dr * dr, axis=-1)
+    drs, d2 = _dense_geometry(coords, boundary)
     live = pair_mask != 1
     special = pair_mask == 2
     r = jnp.sqrt(jnp.where(live, d2, 1.0))
@@ -99,33 +131,34 @@ def dense_forces(inters, atoms, coords, boundary, pair_mask, velocities=None,
                             )(ri, atoms, live_i, spec_i)
 
         g = jax.vmap(row)(r, atoms, live, special)  # dU/dr per ordered pair
-        coef = g / r  # (dU/dr)/r ; masked pairs have g = 0
-        forces = forces + jnp.einsum("ij,ijd->id", coef, dr)
+        coef = g / r
+        # F_i = sum_j (dU/dr / r) dr_ij ; both orderings present, no scatter
+        fcols = [jnp.sum(coef * drs[k], axis=1) for k in range(d)]
+        forces = forces + jnp.stack(fcols, axis=-1)
         if needs_virial:
-            vir = vir - 0.5 * jnp.einsum("ij,ijd,ije->de", coef, dr, dr)
+            vir = vir + _virial_from_components(coef, drs, coords.dtype, scale=0.5)
 
     for inter in veldep:
         ii = jnp.arange(n)
+        r_safe = jnp.where(live, r, 1.0)
 
-        def row_f(dri, ri, i_idx, ai, vi, live_i, spec_i):
-            return jax.vmap(lambda drij, rr, j_idx, aj, vj, lv, sp:
-                            jnp.where(lv, 1.0, 0.0)[..., None] *
-                            inter.force_vec(drij, jnp.where(lv, rr, 1.0), i_idx, j_idx,
-                                            ai, aj, vi, vj, sp, step_n)
-                            )(dri, ri, ii, atoms, velocities, live_i, spec_i)
+        def row_f(dr_i, ri, i_idx, ai, vi, live_i, spec_i):
+            def one(drx, dry, drz, rr, j_idx, aj, vj, lv, sp):
+                drv = jnp.stack([drx, dry, drz])
+                f = inter.force_vec(drv, rr, i_idx, j_idx, ai, aj, vi, vj, sp, step_n)
+                return jnp.where(lv, 1.0, 0.0) * f
 
-        fv = jax.vmap(row_f)(dr, r, ii, atoms, velocities, live, special)  # (N,N,D) force on j
-        # force on i from ordered pair (i, j) is -fv[i, j]; summing ordered
-        # pairs both ways gives each atom its full force without double count.
+            return jax.vmap(one)(dr_i[0], dr_i[1], dr_i[2], ri, ii, atoms,
+                                 velocities, live_i, spec_i)
+
+        fv = jax.vmap(row_f)((drs[0], drs[1], drs[2]), r_safe, ii, atoms,
+                             velocities, live, special)  # (N, N, D): force on j
         forces = forces - jnp.sum(fv, axis=1)
         if needs_virial:
-            vir = vir + 0.5 * jnp.einsum("ijd,ije->de", dr, fv)
+            drv = jnp.stack(drs, axis=-1)
+            vir = vir + 0.5 * jnp.einsum("ijd,ije->de", drv, fv)
 
     return forces, vir
-
-
-def _gather_atoms(atoms, idx):
-    return jax.tree.map(lambda a: a[idx] if a is not None else None, atoms)
 
 
 def neighbor_energy(inters, atoms, coords, boundary, neighbors):
@@ -137,11 +170,8 @@ def neighbor_energy(inters, atoms, coords, boundary, neighbors):
     idx = neighbors.idx
     live = idx < n
     safe_j = jnp.minimum(idx, n - 1)
-    xj = coords[safe_j]  # (N, K, D)
-    dr = jax.vmap(lambda xi, xr: boundary.displacement(xi[None, :], xr))(coords, xj)
-    d2 = jnp.sum(dr * dr, axis=-1)
+    _, d2 = _neighbor_geometry(coords, boundary, safe_j)
     r = jnp.sqrt(jnp.where(live, d2, 1.0))
-    ai = atoms  # row atom views broadcast over K via outer vmap
     aj = _gather_atoms(atoms, safe_j)
 
     def row(ri, a_i, a_j, live_i, spec_i):
@@ -149,7 +179,7 @@ def neighbor_energy(inters, atoms, coords, boundary, neighbors):
                         jnp.where(lv, e_fn(jnp.where(lv, rr, 1.0), a_i, ajj, sp), 0.0)
                         )(ri, a_j, live_i, spec_i)
 
-    e = jax.vmap(row)(r, ai, aj, live, neighbors.special)
+    e = jax.vmap(row)(r, atoms, aj, live, neighbors.special)
     return jnp.sum(e)
 
 
@@ -164,9 +194,7 @@ def neighbor_forces(inters, atoms, coords, boundary, neighbors, velocities=None,
     idx = neighbors.idx
     live = idx < n
     safe_j = jnp.minimum(idx, n - 1)
-    xj = coords[safe_j]
-    dr = jax.vmap(lambda xi, xr: boundary.displacement(xi[None, :], xr))(coords, xj)
-    d2 = jnp.sum(dr * dr, axis=-1)
+    drs, d2 = _neighbor_geometry(coords, boundary, safe_j)
     r = jnp.sqrt(jnp.where(live, d2, 1.0))
     aj = _gather_atoms(atoms, safe_j)
 
@@ -184,30 +212,40 @@ def neighbor_forces(inters, atoms, coords, boundary, neighbors, velocities=None,
 
         g = jax.vmap(row)(r, atoms, aj, live, neighbors.special)
         coef = g / r  # (N, K)
-        fi = coef[..., None] * dr  # force contribution to row atom i
-        forces = forces + jnp.sum(fi, axis=1)
-        forces = forces + jax.ops.segment_sum(
-            (-fi).reshape(-1, d), safe_j.reshape(-1), num_segments=n)
+        flat_j = safe_j.reshape(-1)
+        fcols = []
+        for k in range(d):
+            fk = coef * drs[k]  # contribution to row atom i along axis k
+            col = jnp.sum(fk, axis=1)
+            col = col + jax.ops.segment_sum(-fk.reshape(-1), flat_j, num_segments=n)
+            fcols.append(col)
+        forces = forces + jnp.stack(fcols, axis=-1)
         if needs_virial:
-            vir = vir - jnp.einsum("ik,ikd,ike->de", coef, dr, dr)
+            vir = vir + _virial_from_components(coef, drs, coords.dtype, scale=1.0)
 
     if veldep:
-        vj = velocities[safe_j]
+        vj_all = velocities[safe_j]
         ii = jnp.arange(n)
+        r_safe = jnp.where(live, r, 1.0)
         for inter in veldep:
-            def row_f(dri, ri, i_idx, a_i, v_i, a_j, v_j, j_idx, live_i, spec_i):
-                return jax.vmap(lambda drij, rr, ajj, vjj, jj, lv, sp:
-                                jnp.where(lv, 1.0, 0.0)[..., None] *
-                                inter.force_vec(drij, jnp.where(lv, rr, 1.0), i_idx, jj,
-                                                a_i, ajj, v_i, vjj, sp, step_n)
-                                )(dri, ri, a_j, v_j, j_idx, live_i, spec_i)
+            def row_f(dr_i, ri, i_idx, a_i, v_i, a_j, v_j, j_idx, live_i, spec_i):
+                def one(drx, dry, drz, rr, ajj, vjj, jj, lv, sp):
+                    drv = jnp.stack([drx, dry, drz])
+                    f = inter.force_vec(drv, rr, i_idx, jj, a_i, ajj, v_i, vjj,
+                                        sp, step_n)
+                    return jnp.where(lv, 1.0, 0.0) * f
 
-            fv = jax.vmap(row_f)(dr, r, ii, atoms, velocities, aj, vj, safe_j,
-                                 live, neighbors.special)  # (N, K, D): force on j
+                return jax.vmap(one)(dr_i[0], dr_i[1], dr_i[2], ri, a_j, v_j,
+                                     j_idx, live_i, spec_i)
+
+            fv = jax.vmap(row_f)((drs[0], drs[1], drs[2]), r_safe, ii, atoms,
+                                 velocities, aj, vj_all, safe_j, live,
+                                 neighbors.special)  # (N, K, D): force on j
             forces = forces - jnp.sum(fv, axis=1)
             forces = forces + jax.ops.segment_sum(
                 fv.reshape(-1, d), safe_j.reshape(-1), num_segments=n)
             if needs_virial:
-                vir = vir + jnp.einsum("ikd,ike->de", dr, fv)
+                drv = jnp.stack(drs, axis=-1)
+                vir = vir + jnp.einsum("ikd,ike->de", drv, fv)
 
     return forces, vir

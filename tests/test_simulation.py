@@ -213,3 +213,49 @@ def test_2d_simulation():
     final, _ = mt.simulate(sys, mt.VelocityVerlet(dt=0.001), 50,
                            key=jax.random.PRNGKey(13))
     assert np.all(np.isfinite(np.asarray(final.coords)))
+
+
+def test_celltile_matches_all_pairs():
+    """The cell-tile fast path agrees with the dense path (forces, energy,
+    exclusions, specials)."""
+    n = 40
+    key = jax.random.PRNGKey(21)
+    boundary = mt.cubic(3.0, dtype=jnp.float64)
+    coords = mt.place_atoms(key, boundary, n, min_dist=0.3, dtype=jnp.float64)
+    atoms = mt.make_atoms(n=n, mass=1.0, sigma=0.3, epsilon=0.2, charge=0.1,
+                          dtype=jnp.float64)
+    excl = mt.Exclusions.build(n, excl_pairs=[(0, 1), (2, 3)],
+                               special_pairs=[(4, 5)])
+    lj_d = mt.LennardJones(cutoff=mt.DistanceCutoff(0.9), weight_special=0.5)
+    lj_t = mt.LennardJones(cutoff=mt.DistanceCutoff(0.9), weight_special=0.5,
+                           use_neighbors=True)
+    sys_d = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                      pairwise_inters=(lj_d,), exclusions=excl)
+    finder = mt.CellTileFinder.setup(boundary, 1.0, n)
+    sys_t = sys_d.update(pairwise_inters=(lj_t,), neighbor_finder=finder)
+    tiles = finder.find(coords, boundary, excl)
+    assert int(tiles.overflow) == 0
+    e_d = float(mt.potential_energy(sys_d))
+    e_t = float(mt.potential_energy(sys_t, tiles))
+    assert e_t == pytest.approx(e_d, rel=1e-10)
+    f_d = np.asarray(mt.forces(sys_d))
+    f_t = np.asarray(mt.forces(sys_t, tiles))
+    assert np.allclose(f_t, f_d, atol=1e-10)
+    _, v_d = mt.forces_virial(sys_d, needs_virial=True)
+    _, v_t = mt.forces_virial(sys_t, tiles, needs_virial=True)
+    assert np.allclose(np.asarray(v_t), np.asarray(v_d), atol=1e-9)
+
+
+def test_celltile_simulation():
+    finder_proto = None
+    sys = lj_fluid(n_atoms=32, box=2.0, use_neighbors=True,
+                   cutoff=mt.ShiftedForceCutoff(0.8))
+    finder = mt.CellTileFinder.setup(sys.boundary, 0.9, sys.n_atoms, n_steps=1)
+    sys = sys.update(neighbor_finder=finder)
+    tiles = finder.find(sys.coords, sys.boundary, sys.exclusions)
+    e0 = float(mt.total_energy(sys, tiles))
+    final, _ = mt.simulate(sys, mt.VelocityVerlet(dt=0.001), 200,
+                           key=jax.random.PRNGKey(22))
+    tiles = finder.find(final.coords, final.boundary, final.exclusions)
+    e1 = float(mt.total_energy(final, tiles))
+    assert abs(e1 - e0) / sys.n_atoms < 2e-3
