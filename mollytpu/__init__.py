@@ -52,12 +52,19 @@ from .ops.neighbors import (
 from .ops.celltiles import CellTileFinder, CellTiles
 from .sim.integrators import (
     VelocityVerlet, Verlet, StormerVerlet, Langevin, LangevinSplitting,
-    OverdampedLangevin, NoseHoover, DPDVelocityVerlet,
+    OverdampedLangevin, NoseHoover, DPDVelocityVerlet, MTSIntegrator,
+    MTSLangevinIntegrator,
 )
 from .sim.coupling import (
     ImmediateThermostat, VelocityRescaleThermostat, AndersenThermostat,
-    BerendsenThermostat, BerendsenBarostat,
+    BerendsenThermostat, BerendsenBarostat, MonteCarloBarostat, CRescaleBarostat,
 )
+from .sim.minimize import SteepestDescentMinimizer
+from .sim.mc import (
+    MetropolisMonteCarlo, random_uniform_translation, random_normal_translation,
+)
+from .sim.remd import ReplicaExchangeMD
+from .ops.constraints import SHAKERattle, angle_constraint
 from .sim.simulate import simulate
 from .utils import loggers
 from .utils.loggers import (

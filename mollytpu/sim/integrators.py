@@ -74,6 +74,9 @@ class _IntegratorBase:
     def init_aux(self, sys, neighbors, needs_virial=False):
         aux = _recompute(sys, neighbors, 0, needs_virial)
         aux.update(self.extra_state(sys))
+        for c in getattr(self, "coupling", ()):
+            if hasattr(c, "init_state"):
+                aux["mc_baro"] = c.init_state(sys)
         return aux
 
     def extra_state(self, sys):
@@ -85,8 +88,12 @@ class _IntegratorBase:
         if self.remove_cm:
             sys = sys.update(velocities=remove_cm_motion(sys.masses, sys.velocities))
         if self.coupling:
+            if kinetic_tensor is None and needs_virial:
+                from ..spatial import kinetic_energy_tensor
+                kinetic_tensor = kinetic_energy_tensor(sys.masses, sys.velocities)
             sys, aux = apply_couplers(self.coupling, sys, aux, self.dt, step_n,
-                                      key, kinetic_tensor, aux.get("virial"))
+                                      key, kinetic_tensor, aux.get("virial"),
+                                      neighbors)
             from .coupling import couplers_invalidate_forces
             if couplers_invalidate_forces(self.coupling):
                 new = _recompute(sys, neighbors, step_n, needs_virial)
@@ -388,3 +395,124 @@ class DPDVelocityVerlet(_IntegratorBase):
 
 
 _register(DPDVelocityVerlet, ["dt", "lam", "coupling"], ["remove_cm"])
+
+
+def _split_fast_slow(sys):
+    """MTS split: bonded terms are the fast group, nonbonded + general the
+    slow group (the reference allows arbitrary per-interaction fractions,
+    simulators.jl:1616-1940; this covers the standard rRESPA use)."""
+    sys_fast = sys.update(pairwise_inters=(), general_inters=())
+    sys_slow = sys.update(specific_lists=())
+    return sys_fast, sys_slow
+
+
+@dataclasses.dataclass(frozen=True)
+class MTSIntegrator(_IntegratorBase):
+    """rRESPA multiple time stepping (simulators.jl:1616-1800): slow
+    (nonbonded) forces kick at dt, fast (bonded) forces integrate with an
+    inner velocity-Verlet loop at dt / n_substeps."""
+
+    dt: float
+    n_substeps: int = dataclasses.field(default=4, metadata={"static": True})
+    coupling: tuple = ()
+    remove_cm: bool = dataclasses.field(default=True, metadata={"static": True})
+
+    def init_aux(self, sys, neighbors, needs_virial=False):
+        sys_fast, sys_slow = _split_fast_slow(sys)
+        f_slow, v = forces_virial(sys_slow, neighbors, 0, needs_virial=needs_virial)
+        f_fast, _ = forces_virial(sys_fast, None, 0)
+        aux = {"forces": f_slow + f_fast, "virial": v,
+               "f_slow": f_slow, "f_fast": f_fast}
+        for c in self.coupling:
+            if hasattr(c, "init_state"):
+                aux["mc_baro"] = c.init_state(sys)
+        return aux
+
+    def step(self, sys, neighbors, aux, step_n, key, needs_virial=False):
+        dt = self.dt
+        n_sub = self.n_substeps
+        dt_f = dt / n_sub
+        # slow half kick
+        vels = sys.velocities + 0.5 * dt * _accels(sys, aux["f_slow"])
+        sys = sys.update(velocities=vels)
+
+        sys_fast, sys_slow = _split_fast_slow(sys)
+
+        def inner(carry, _):
+            coords, vels, f_fast = carry
+            vels = vels + 0.5 * dt_f * _accels(sys, f_fast)
+            coords = coords + dt_f * vels
+            f_new, _ = forces_virial(sys_fast.update(coords=coords), None, step_n)
+            vels = vels + 0.5 * dt_f * _accels(sys, f_new)
+            return (coords, vels, f_new), None
+
+        (coords, vels, f_fast), _ = jax.lax.scan(
+            inner, (sys.coords, vels, aux["f_fast"]), None, length=n_sub)
+        coords = sys.boundary.wrap(coords)
+        coords = _place_virtual_sites(sys, coords)
+        sys = sys.update(coords=coords, velocities=vels)
+        f_slow, v = forces_virial(sys_slow.update(coords=coords), neighbors,
+                                  step_n, needs_virial=needs_virial)
+        vels = sys.velocities + 0.5 * dt * _accels(sys, f_slow)
+        sys = sys.update(velocities=vels)
+        aux = {**aux, "forces": f_slow + f_fast, "virial": v,
+               "f_slow": f_slow, "f_fast": f_fast}
+        return self._finish_step(sys, neighbors, aux, step_n, key, needs_virial)
+
+
+_register(MTSIntegrator, ["dt", "coupling"], ["n_substeps", "remove_cm"])
+
+
+@dataclasses.dataclass(frozen=True)
+class MTSLangevinIntegrator(MTSIntegrator):
+    """BAOAB-RESPA: rRESPA with an Ornstein-Uhlenbeck middle step
+    (simulators.jl:1800-1940)."""
+
+    dt: float = 0.002
+    temperature: float = 300.0
+    friction: float = 1.0
+    n_substeps: int = dataclasses.field(default=4, metadata={"static": True})
+    coupling: tuple = ()
+    remove_cm: bool = dataclasses.field(default=True, metadata={"static": True})
+
+    def step(self, sys, neighbors, aux, step_n, key, needs_virial=False):
+        dt = self.dt
+        n_sub = self.n_substeps
+        dt_f = dt / n_sub
+        m = sys.masses
+        safe_m = jnp.where(m > 0, m, 1.0)
+        vels = sys.velocities + 0.5 * dt * _accels(sys, aux["f_slow"])
+        sys = sys.update(velocities=vels)
+        sys_fast, sys_slow = _split_fast_slow(sys)
+
+        def inner(carry, sub_key):
+            coords, vels, f_fast = carry
+            vels = vels + 0.5 * dt_f * _accels(sys, f_fast)
+            coords = coords + 0.5 * dt_f * vels
+            c1 = jnp.exp(-self.friction * dt_f)
+            sigma = jnp.sqrt(KB * self.temperature / safe_m) * jnp.sqrt(1.0 - c1 ** 2)
+            noise = jax.random.normal(sub_key, vels.shape, dtype=coords.dtype)
+            vels = c1 * vels + jnp.where((m > 0)[:, None],
+                                         sigma[:, None] * noise, 0.0)
+            coords = coords + 0.5 * dt_f * vels
+            f_new, _ = forces_virial(sys_fast.update(coords=coords), None, step_n)
+            vels = vels + 0.5 * dt_f * _accels(sys, f_new)
+            return (coords, vels, f_new), None
+
+        keys = jax.random.split(key, n_sub)
+        (coords, vels, f_fast), _ = jax.lax.scan(
+            inner, (sys.coords, vels, aux["f_fast"]), keys)
+        coords = sys.boundary.wrap(coords)
+        coords = _place_virtual_sites(sys, coords)
+        sys = sys.update(coords=coords, velocities=vels)
+        f_slow, v = forces_virial(sys_slow.update(coords=coords), neighbors,
+                                  step_n, needs_virial=needs_virial)
+        vels = sys.velocities + 0.5 * dt * _accels(sys, f_slow)
+        sys = sys.update(velocities=vels)
+        aux = {**aux, "forces": f_slow + f_fast, "virial": v,
+               "f_slow": f_slow, "f_fast": f_fast}
+        return self._finish_step(sys, neighbors, aux, step_n, key, needs_virial)
+
+
+_register(MTSLangevinIntegrator, ["dt", "temperature", "friction", "coupling"],
+          ["n_substeps", "remove_cm"])
