@@ -35,7 +35,8 @@ def build(n_side=27, dtype=jnp.float32):
                           dtype=dtype)
     vels = mt.random_velocities(jax.random.PRNGKey(1), atoms.mass, 120.0,
                                 dtype=dtype)
-    finder = mt.CellTileFinder.setup(boundary, 1.0, n_atoms, n_steps=1)
+    from mollytpu.ops.blockpairs import BlockPairFinder
+    finder = BlockPairFinder.setup(boundary, 1.0, n_atoms, n_steps=1, coords=coords)
     lj = mt.LennardJones(cutoff=mt.ShiftedForceCutoff(1.0), use_neighbors=True)
     sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
                     velocities=vels, pairwise_inters=(lj,),

@@ -15,7 +15,21 @@ import jax.numpy as jnp
 from .ops import nonbonded
 from .ops.bonded import specific_energy, specific_forces
 from .ops.celltiles import CellTiles, tile_energy, tile_forces
+from .ops.blockpairs import BlockPairs
 from .spatial import kinetic_energy as _ke
+
+
+def _pallas_dispatch(sys, nl, neighbors):
+    """Use the fused Pallas kernel when the neighbor structure is block
+    pairs, the box is orthorhombic and the interactions are in the fused
+    set."""
+    if not isinstance(neighbors, BlockPairs):
+        return None
+    from .boundary import Orthorhombic
+    if not isinstance(sys.boundary, Orthorhombic):
+        return None
+    from .ops.pallas_pairwise import build_fused_spec
+    return build_fused_spec(nl)
 
 
 def _split_by_neighbors(inters):
@@ -35,7 +49,14 @@ def potential_energy(sys, neighbors=None, step_n=0):
     if nl:
         if neighbors is None:
             raise ValueError("neighbor-list interactions present but neighbors is None")
-        if isinstance(neighbors, CellTiles):
+        spec = _pallas_dispatch(sys, nl, neighbors)
+        if spec is not None:
+            from .ops.pallas_pairwise import pallas_block_nonbonded
+            _, e_nb, _ = pallas_block_nonbonded(
+                spec, coords, boundary, atoms, sys.exclusions, neighbors,
+                sys.neighbor_finder, compute_energy=True)
+            e = e + e_nb
+        elif isinstance(neighbors, CellTiles):
             e = e + tile_energy(nl, atoms, coords, boundary, neighbors,
                                 sys.neighbor_finder, sys.exclusions)
         else:
@@ -63,7 +84,13 @@ def forces_virial(sys, neighbors=None, step_n=0, needs_virial=False):
     if nl:
         if neighbors is None:
             raise ValueError("neighbor-list interactions present but neighbors is None")
-        if isinstance(neighbors, CellTiles):
+        spec = _pallas_dispatch(sys, nl, neighbors)
+        if spec is not None:
+            from .ops.pallas_pairwise import pallas_block_nonbonded
+            f, _, v = pallas_block_nonbonded(
+                spec, coords, boundary, atoms, sys.exclusions, neighbors,
+                sys.neighbor_finder, compute_energy=needs_virial)
+        elif isinstance(neighbors, CellTiles):
             f, v = tile_forces(nl, atoms, coords, boundary, neighbors,
                                sys.neighbor_finder, sys.exclusions,
                                velocities=sys.velocities, step_n=step_n,

@@ -500,7 +500,7 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         from ..ops.gbsa import make_implicit_solvent
         general.append(make_implicit_solvent(
             implicit_solvent, struct, bonds, np.asarray(charge_of),
-            dist_cutoff=rc, dtype=dtype, **(implicit_solvent_kwargs or {})))
+            type_of=type_of, dtype=dtype, **(implicit_solvent_kwargs or {})))
 
     # neighbor finder
     nf = None

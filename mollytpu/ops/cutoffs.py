@@ -47,7 +47,7 @@ class DistanceCutoff:
         return jnp.where(r <= rc, u(jnp.minimum(r, rc)), 0.0)
 
 
-_register(DistanceCutoff, ["dist_cutoff"])
+_register(DistanceCutoff, [], ["dist_cutoff"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,7 +60,7 @@ class ShiftedPotentialCutoff:
         return jnp.where(inside, u(jnp.minimum(r, rc)) - u(rc), 0.0)
 
 
-_register(ShiftedPotentialCutoff, ["dist_cutoff"])
+_register(ShiftedPotentialCutoff, [], ["dist_cutoff"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,7 +75,7 @@ class ShiftedForceCutoff:
         return jnp.where(inside, u(rs) - u(rc) - (rs - rc) * du_rc, 0.0)
 
 
-_register(ShiftedForceCutoff, ["dist_cutoff"])
+_register(ShiftedForceCutoff, [], ["dist_cutoff"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,7 +98,7 @@ class CubicSplineCutoff:
         return jnp.where(r <= ra, raw, jnp.where(r <= rc, spline, 0.0))
 
 
-_register(CubicSplineCutoff, ["dist_activation", "dist_cutoff"])
+_register(CubicSplineCutoff, [], ["dist_activation", "dist_cutoff"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,7 +116,7 @@ class PolynomialCutoff:
         return jnp.where(r <= rc, s * u(jnp.minimum(r, rc)), 0.0)
 
 
-_register(PolynomialCutoff, ["dist_activation", "dist_cutoff"])
+_register(PolynomialCutoff, [], ["dist_activation", "dist_cutoff"])
 
 
 def cutoff_distance(cutoff):

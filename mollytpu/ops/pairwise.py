@@ -96,8 +96,8 @@ class LennardJones:
         return e * _w_special(special, self.weight_special)
 
 
-_register(LennardJones, ["cutoff", "weight_special"],
-          ["use_neighbors", "sigma_mixing", "epsilon_mixing"])
+_register(LennardJones, ["cutoff"],
+          ["weight_special", "use_neighbors", "sigma_mixing", "epsilon_mixing"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,8 +134,8 @@ class LennardJonesSoftCoreBeutler:
         return e * _w_special(special, self.weight_special)
 
 
-_register(LennardJonesSoftCoreBeutler, ["cutoff", "alpha", "weight_special"],
-          ["use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing", "scheduler"])
+_register(LennardJonesSoftCoreBeutler, ["cutoff"],
+          ["alpha", "weight_special", "use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing", "scheduler"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,8 +177,8 @@ class LennardJonesSoftCoreGapsys:
         return e * _w_special(special, self.weight_special)
 
 
-_register(LennardJonesSoftCoreGapsys, ["cutoff", "alpha", "weight_special"],
-          ["use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing", "scheduler"])
+_register(LennardJonesSoftCoreGapsys, ["cutoff"],
+          ["alpha", "weight_special", "use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing", "scheduler"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,8 +210,8 @@ class AshbaughHatch:
         return e * _w_special(special, self.weight_special)
 
 
-_register(AshbaughHatch, ["cutoff", "weight_special"],
-          ["use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing"])
+_register(AshbaughHatch, ["cutoff"],
+          ["weight_special", "use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -265,8 +265,8 @@ class Mie:
         return e * _w_special(special, self.weight_special)
 
 
-_register(Mie, ["m", "n", "cutoff", "weight_special"],
-          ["use_neighbors", "sigma_mixing", "epsilon_mixing"])
+_register(Mie, ["cutoff"],
+          ["m", "n", "weight_special", "use_neighbors", "sigma_mixing", "epsilon_mixing"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -292,7 +292,7 @@ class Buckingham:
         return e * _w_special(special, self.weight_special)
 
 
-_register(Buckingham, ["cutoff", "weight_special"], ["use_neighbors"])
+_register(Buckingham, ["cutoff"], ["weight_special", "use_neighbors"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -324,8 +324,8 @@ class DoubleExponential:
         return e * _w_special(special, self.weight_special)
 
 
-_register(DoubleExponential, ["alpha", "beta", "cutoff", "weight_special"],
-          ["use_neighbors", "sigma_mixing", "epsilon_mixing"])
+_register(DoubleExponential, ["cutoff"],
+          ["alpha", "beta", "weight_special", "use_neighbors", "sigma_mixing", "epsilon_mixing"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -365,8 +365,8 @@ class DoubleExponentialSoftCore:
         return e * _w_special(special, self.weight_special)
 
 
-_register(DoubleExponentialSoftCore, ["alpha", "beta", "cutoff", "weight_special"],
-          ["use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing", "scheduler"])
+_register(DoubleExponentialSoftCore, ["cutoff"],
+          ["alpha", "beta", "weight_special", "use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing", "scheduler"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -384,7 +384,7 @@ class Gravity:
         return self.cutoff.apply(u, r)
 
 
-_register(Gravity, ["G", "cutoff"], ["use_neighbors"])
+_register(Gravity, ["cutoff"], ["G", "use_neighbors"])
 
 
 # ---------------------------------------------------------------------------
@@ -410,7 +410,7 @@ class Coulomb:
         return self.cutoff.apply(u, r) * _w_special(special, self.weight_special)
 
 
-_register(Coulomb, ["cutoff", "weight_special", "coulomb_const"], ["use_neighbors"])
+_register(Coulomb, ["cutoff"], ["weight_special", "coulomb_const", "use_neighbors"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -435,8 +435,8 @@ class CoulombScaled:
         return self.cutoff.apply(u, r) * _w_special(special, self.weight_special)
 
 
-_register(CoulombScaled, ["cutoff", "weight_special", "coulomb_const"],
-          ["use_neighbors", "scheduler"])
+_register(CoulombScaled, ["cutoff"],
+          ["weight_special", "coulomb_const", "use_neighbors", "scheduler"])
 
 
 def _rf_constants(dist_cutoff, solvent_dielectric):
@@ -473,9 +473,9 @@ class CoulombReactionField:
         return jnp.where(r <= self.dist_cutoff, e, 0.0)
 
 
-_register(CoulombReactionField,
-          ["dist_cutoff", "solvent_dielectric", "weight_special", "coulomb_const"],
-          ["use_neighbors"])
+_register(CoulombReactionField, [],
+          ["dist_cutoff", "solvent_dielectric", "weight_special", "coulomb_const",
+           "use_neighbors"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -502,9 +502,9 @@ class CoulombReactionFieldScaled:
         return jnp.where(r <= self.dist_cutoff, e, 0.0)
 
 
-_register(CoulombReactionFieldScaled,
-          ["dist_cutoff", "solvent_dielectric", "weight_special", "coulomb_const"],
-          ["use_neighbors", "scheduler"])
+_register(CoulombReactionFieldScaled, [],
+          ["dist_cutoff", "solvent_dielectric", "weight_special", "coulomb_const",
+           "use_neighbors", "scheduler"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -540,8 +540,8 @@ class CoulombSoftCoreBeutler:
         return e * _w_special(special, self.weight_special)
 
 
-_register(CoulombSoftCoreBeutler, ["cutoff", "alpha", "weight_special", "coulomb_const"],
-          ["use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing", "scheduler"])
+_register(CoulombSoftCoreBeutler, ["cutoff"],
+          ["alpha", "weight_special", "coulomb_const", "use_neighbors", "sigma_mixing", "epsilon_mixing", "lambda_mixing", "scheduler"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -576,9 +576,9 @@ class CoulombSoftCoreGapsys:
         return e * _w_special(special, self.weight_special)
 
 
-_register(CoulombSoftCoreGapsys,
-          ["cutoff", "alpha", "sigma_q", "weight_special", "coulomb_const"],
-          ["use_neighbors", "lambda_mixing", "scheduler"])
+_register(CoulombSoftCoreGapsys, ["cutoff"],
+          ["alpha", "sigma_q", "weight_special", "coulomb_const",
+           "use_neighbors", "lambda_mixing", "scheduler"])
 
 
 def _erfc(x, approximate):
@@ -626,9 +626,9 @@ class CoulombEwald:
         return jnp.where(r <= self.dist_cutoff, e, 0.0)
 
 
-_register(CoulombEwald,
-          ["dist_cutoff", "error_tol", "weight_special", "coulomb_const", "alpha"],
-          ["use_neighbors", "approximate_erfc"])
+_register(CoulombEwald, [],
+          ["dist_cutoff", "error_tol", "weight_special", "coulomb_const", "alpha",
+           "use_neighbors", "approximate_erfc"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -661,9 +661,9 @@ class CoulombEwaldScaled:
         return jnp.where(r <= self.dist_cutoff, e, 0.0)
 
 
-_register(CoulombEwaldScaled,
-          ["dist_cutoff", "error_tol", "weight_special", "coulomb_const", "alpha"],
-          ["use_neighbors", "scheduler", "approximate_erfc"])
+_register(CoulombEwaldScaled, [],
+          ["dist_cutoff", "error_tol", "weight_special", "coulomb_const", "alpha",
+           "use_neighbors", "scheduler", "approximate_erfc"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -704,9 +704,9 @@ class CoulombSoftCoreBeutlerEwald:
         return jnp.where(r <= self.dist_cutoff, e, 0.0)
 
 
-_register(CoulombSoftCoreBeutlerEwald,
-          ["dist_cutoff", "error_tol", "alpha_sc", "weight_special", "coulomb_const", "alpha"],
-          ["use_neighbors", "sigma_mixing", "lambda_mixing", "scheduler", "approximate_erfc"])
+_register(CoulombSoftCoreBeutlerEwald, [],
+          ["dist_cutoff", "error_tol", "alpha_sc", "weight_special", "coulomb_const", "alpha",
+           "use_neighbors", "sigma_mixing", "lambda_mixing", "scheduler", "approximate_erfc"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -747,10 +747,10 @@ class CoulombSoftCoreGapsysEwald:
         return jnp.where(r <= self.dist_cutoff, e, 0.0)
 
 
-_register(CoulombSoftCoreGapsysEwald,
+_register(CoulombSoftCoreGapsysEwald, [],
           ["dist_cutoff", "error_tol", "alpha_sc", "sigma_q", "weight_special",
-           "coulomb_const", "alpha"],
-          ["use_neighbors", "lambda_mixing", "scheduler", "approximate_erfc"])
+           "coulomb_const", "alpha", "use_neighbors", "lambda_mixing", "scheduler",
+           "approximate_erfc"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -786,9 +786,9 @@ class CoulombSoftCoreBeutlerReactionField:
         return jnp.where(r <= self.dist_cutoff, e, 0.0)
 
 
-_register(CoulombSoftCoreBeutlerReactionField,
-          ["dist_cutoff", "solvent_dielectric", "alpha", "weight_special", "coulomb_const"],
-          ["use_neighbors", "sigma_mixing", "lambda_mixing", "scheduler"])
+_register(CoulombSoftCoreBeutlerReactionField, [],
+          ["dist_cutoff", "solvent_dielectric", "alpha", "weight_special", "coulomb_const",
+           "use_neighbors", "sigma_mixing", "lambda_mixing", "scheduler"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -824,10 +824,9 @@ class CoulombSoftCoreGapsysReactionField:
         return jnp.where(r <= self.dist_cutoff, e, 0.0)
 
 
-_register(CoulombSoftCoreGapsysReactionField,
+_register(CoulombSoftCoreGapsysReactionField, [],
           ["dist_cutoff", "solvent_dielectric", "alpha", "sigma_q", "weight_special",
-           "coulomb_const"],
-          ["use_neighbors", "lambda_mixing", "scheduler"])
+           "coulomb_const", "use_neighbors", "lambda_mixing", "scheduler"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -850,8 +849,8 @@ class Yukawa:
         return self.cutoff.apply(u, r) * _w_special(special, self.weight_special)
 
 
-_register(Yukawa, ["cutoff", "weight_special", "coulomb_const", "kappa"],
-          ["use_neighbors"])
+_register(Yukawa, ["cutoff"],
+          ["weight_special", "coulomb_const", "kappa", "use_neighbors"])
 
 
 # ---------------------------------------------------------------------------
@@ -917,8 +916,8 @@ class DPDInteraction:
         return jnp.where(live, (f_c + f_d + f_r), 0.0) * dr
 
 
-_register(DPDInteraction, ["a", "gamma", "sigma", "r_c", "dt"],
-          ["use_neighbors", "seed"])
+_register(DPDInteraction, [],
+          ["a", "gamma", "sigma", "r_c", "dt", "use_neighbors", "seed"])
 
 
 def interaction_cutoff(inter):

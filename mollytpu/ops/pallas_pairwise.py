@@ -1,0 +1,371 @@
+"""Pallas TPU kernel for the nonbonded hot path.
+
+The TPU analogue of the reference's hand-tuned CUDA force kernel
+(ext/MollyCUDAExt.jl:1595-2045): one 128x128 atom-block pair tile per grid
+step (the VPU-lane-sized counterpart of the reference's 32x32 warp tiles),
+with the interacting-block list scalar-prefetched so block indices drive the
+input DMA (PrefetchScalarGridSpec), i-block forces accumulated in VMEM across
+the j dimension, exclusions tested branch-free against per-atom id tables,
+and energy/virial reduced into SMEM scalars. Both orderings of every pair are
+evaluated (as in the cell-tile path), so no j-side scatter exists at all —
+the analogue of the reference dropping its shared-memory opposite-force
+accumulation.
+
+Supported fused interactions (the production biomolecular set): LennardJones
+with No/Distance/ShiftedPotential/ShiftedForce cutoffs (Lorentz sigma /
+geometric epsilon mixing) + one of Coulomb / CoulombReactionField /
+CoulombEwald, with 1-4 special weighting. Anything else falls back to the
+XLA cell-tile path (forces.py dispatch).
+
+On CPU the kernel runs in interpreter mode so tests validate identical
+semantics without TPU hardware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blockpairs import BLOCK, BlockPairs, BlockPairFinder
+from . import cutoffs as cut
+from . import pairwise as pw
+from .mixing import LorentzMixing, GeometricMixing
+
+INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedSpec:
+    """Static description of the fused pair interaction for the kernel."""
+
+    lj_mode: int = 0        # 0 none, 1 distance, 2 shifted-pot, 3 shifted-force, 4 no-cutoff
+    lj_rc: float = 0.0
+    lj_w: float = 1.0       # 1-4 weight
+    coul_mode: int = 0      # 0 none, 1 plain, 2 reaction field, 3 ewald real
+    coul_rc: float = 0.0
+    ke: float = 0.0
+    krf: float = 0.0
+    crf: float = 0.0
+    alpha: float = 0.0
+    coul_w: float = 1.0
+    cut_max: float = 1.0    # outer radius for the block culling
+
+
+def build_fused_spec(inters):
+    """Map a tuple of pairwise interactions onto a FusedSpec, or None if any
+    interaction is outside the fast-path set."""
+    spec = dict(lj_mode=0, lj_rc=0.0, lj_w=1.0, coul_mode=0, coul_rc=0.0,
+                ke=0.0, krf=0.0, crf=0.0, alpha=0.0, coul_w=1.0)
+    cut_max = 0.0
+    for inter in inters:
+        if isinstance(inter, pw.LennardJones):
+            if spec["lj_mode"]:
+                return None
+            if not isinstance(inter.sigma_mixing, LorentzMixing):
+                return None
+            if not isinstance(inter.epsilon_mixing, GeometricMixing):
+                return None
+            c = inter.cutoff
+            if isinstance(c, cut.NoCutoff):
+                spec["lj_mode"] = 4
+            elif isinstance(c, cut.DistanceCutoff):
+                spec["lj_mode"], spec["lj_rc"] = 1, float(c.dist_cutoff)
+            elif isinstance(c, cut.ShiftedPotentialCutoff):
+                spec["lj_mode"], spec["lj_rc"] = 2, float(c.dist_cutoff)
+            elif isinstance(c, cut.ShiftedForceCutoff):
+                spec["lj_mode"], spec["lj_rc"] = 3, float(c.dist_cutoff)
+            else:
+                return None
+            spec["lj_w"] = float(inter.weight_special)
+            if spec["lj_rc"]:
+                cut_max = max(cut_max, spec["lj_rc"])
+        elif isinstance(inter, pw.Coulomb):
+            if spec["coul_mode"]:
+                return None
+            if not isinstance(inter.cutoff, (cut.NoCutoff, cut.DistanceCutoff)):
+                return None
+            spec["coul_mode"] = 1
+            spec["ke"] = float(inter.coulomb_const)
+            spec["coul_w"] = float(inter.weight_special)
+            if isinstance(inter.cutoff, cut.DistanceCutoff):
+                spec["coul_rc"] = float(inter.cutoff.dist_cutoff)
+                cut_max = max(cut_max, spec["coul_rc"])
+        elif isinstance(inter, pw.CoulombReactionField):
+            if spec["coul_mode"]:
+                return None
+            rc = float(inter.dist_cutoff)
+            eps_rf = float(inter.solvent_dielectric)
+            if math.isinf(eps_rf):
+                krf = 1.0 / (2.0 * rc ** 3)
+                crf = 3.0 / (2.0 * rc)
+            else:
+                krf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc ** 3)
+                crf = 3.0 * eps_rf / ((2.0 * eps_rf + 1.0) * rc)
+            spec.update(coul_mode=2, coul_rc=rc, ke=float(inter.coulomb_const),
+                        krf=krf, crf=crf, coul_w=float(inter.weight_special))
+            cut_max = max(cut_max, rc)
+        elif isinstance(inter, pw.CoulombEwald):
+            if spec["coul_mode"]:
+                return None
+            spec.update(coul_mode=3, coul_rc=float(inter.dist_cutoff),
+                        ke=float(inter.coulomb_const), alpha=float(inter.alpha),
+                        coul_w=float(inter.weight_special))
+            cut_max = max(cut_max, float(inter.dist_cutoff))
+        else:
+            return None
+    if spec["lj_mode"] == 0 and spec["coul_mode"] == 0:
+        return None
+    if cut_max == 0.0:
+        return None  # no finite cutoff: block culling impossible
+    return FusedSpec(cut_max=cut_max, **spec)
+
+
+def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
+    """Energy and coef = (dU/dr)/r on a (128, 128) tile. All branches are
+    trace-time Python on the static spec."""
+    e = jnp.zeros_like(r2)
+    coef = jnp.zeros_like(r2)
+    one = jnp.asarray(1.0, dtype)
+    if spec.lj_mode:
+        inv_r2 = inv_r * inv_r
+        s2 = sig * sig * inv_r2
+        six = s2 * s2 * s2
+        twelve = six * six
+        e_lj = 4.0 * eps * (twelve - six)
+        coef_lj = -24.0 * eps * (2.0 * twelve - six) * inv_r2
+        if spec.lj_mode in (2, 3):
+            rc = spec.lj_rc
+            s2c = sig * sig / (rc * rc)
+            sixc = s2c * s2c * s2c
+            twelvec = sixc * sixc
+            e_rc = 4.0 * eps * (twelvec - sixc)
+            e_lj = e_lj - e_rc
+            if spec.lj_mode == 3:
+                dudr_rc = -24.0 * eps * (2.0 * twelvec - sixc) / rc
+                e_lj = e_lj - (r - rc) * dudr_rc
+                coef_lj = coef_lj - dudr_rc * inv_r
+        if spec.lj_mode != 4:
+            inside = r2 < spec.lj_rc * spec.lj_rc
+            e_lj = jnp.where(inside, e_lj, 0.0)
+            coef_lj = jnp.where(inside, coef_lj, 0.0)
+        w = jnp.where(special, jnp.asarray(spec.lj_w, dtype), one)
+        e = e + e_lj * w
+        coef = coef + coef_lj * w
+    if spec.coul_mode:
+        keqq = spec.ke * qq
+        inv_r2 = inv_r * inv_r
+        e_plain = keqq * inv_r
+        coef_plain = -keqq * inv_r2 * inv_r
+        if spec.coul_mode == 1:
+            e_c = e_plain
+            coef_c = coef_plain
+            w = jnp.where(special, jnp.asarray(spec.coul_w, dtype), one)
+            e_c, coef_c = e_c * w, coef_c * w
+            if spec.coul_rc:
+                inside = r2 < spec.coul_rc * spec.coul_rc
+                e_c = jnp.where(inside, e_c, 0.0)
+                coef_c = jnp.where(inside, coef_c, 0.0)
+        elif spec.coul_mode == 2:
+            e_rf = keqq * (inv_r + spec.krf * r2 - spec.crf)
+            coef_rf = keqq * (-inv_r2 * inv_r + 2.0 * spec.krf)
+            e_c = jnp.where(special, e_plain * spec.coul_w, e_rf)
+            coef_c = jnp.where(special, coef_plain * spec.coul_w, coef_rf)
+            inside = r2 < spec.coul_rc * spec.coul_rc
+            e_c = jnp.where(inside, e_c, 0.0)
+            coef_c = jnp.where(inside, coef_c, 0.0)
+        else:  # ewald real space (approximate erfc, as the reference default)
+            ar = spec.alpha * r
+            t = 1.0 / (1.0 + 0.3275911 * ar)
+            poly = (0.254829592 + (-0.284496736 + (1.421413741 +
+                    (-1.453152027 + 1.061405429 * t) * t) * t) * t) * t
+            exp_m = jnp.exp(-ar * ar)
+            erfc_ar = poly * exp_m
+            e_ew = keqq * erfc_ar * inv_r
+            coef_ew = -keqq * inv_r2 * (erfc_ar * inv_r
+                                        + 2.0 * spec.alpha * INV_SQRT_PI * exp_m)
+            e_c = jnp.where(special, e_plain * spec.coul_w, e_ew)
+            coef_c = jnp.where(special, coef_plain * spec.coul_w,
+                               coef_ew)
+            inside = r2 < spec.coul_rc * spec.coul_rc
+            e_c = jnp.where(inside, e_c, 0.0)
+            coef_c = jnp.where(inside, coef_c, 0.0)
+        e = e + e_c
+        coef = coef + coef_c
+    return e, coef
+
+
+def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
+            # scalar prefetch
+            nbr_ref, nbr_valid_ref,
+            # inputs
+            box_ref,
+            ax_ref, ay_ref, az_ref, asig_ref, aeps_ref, aq_ref, aid_ref,
+            aexcl_ref, aspec_ref,
+            bx_ref, by_ref, bz_ref, bsig_ref, beps_ref, bq_ref, bid_ref,
+            # outputs
+            fx_ref, fy_ref, fz_ref, eng_ref, vir_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dtype = ax_ref.dtype
+
+    @pl.when(j == 0)
+    def _():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+        fz_ref[...] = jnp.zeros_like(fz_ref)
+
+    if compute_energy:
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            eng_ref[...] = jnp.zeros_like(eng_ref)
+            vir_ref[...] = jnp.zeros_like(vir_ref)
+
+    valid_tile = nbr_valid_ref[i, j] > 0
+
+    @pl.when(valid_tile)
+    def _():
+        ax = ax_ref[0, 0, :]
+        bx = bx_ref[0, 0, :]
+        dx = bx[None, :] - ax[:, None]
+        dy = by_ref[0, 0, :][None, :] - ay_ref[0, 0, :][:, None]
+        dz = bz_ref[0, 0, :][None, :] - az_ref[0, 0, :][:, None]
+        bx0, bx1, bx2 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+        dx = dx - jnp.round(dx / bx0) * bx0
+        dy = dy - jnp.round(dy / bx1) * bx1
+        dz = dz - jnp.round(dz / bx2) * bx2
+        r2 = dx * dx + dy * dy + dz * dz
+
+        a_id = aid_ref[0, 0, :]
+        b_id = bid_ref[0, 0, :]
+        live = ((a_id[:, None] < n_atoms) & (b_id[None, :] < n_atoms)
+                & (a_id[:, None] != b_id[None, :])
+                & (r2 < spec.cut_max * spec.cut_max))
+        # exclusions / specials: compare b ids against A-row tables
+        excl = jnp.zeros_like(live)
+        for w in range(w_excl):
+            excl = excl | (b_id[None, :] == aexcl_ref[0, :, w][:, None])
+        special = jnp.zeros_like(live)
+        for w in range(w_spec):
+            special = special | (b_id[None, :] == aspec_ref[0, :, w][:, None])
+        live = live & ~excl
+
+        r2s = jnp.where(live, r2, 1.0)
+        r = jnp.sqrt(r2s)
+        inv_r = 1.0 / r
+        sig = 0.5 * (asig_ref[0, 0, :][:, None] + bsig_ref[0, 0, :][None, :])
+        eps = jnp.sqrt(aeps_ref[0, 0, :][:, None] * beps_ref[0, 0, :][None, :])
+        qq = aq_ref[0, 0, :][:, None] * bq_ref[0, 0, :][None, :]
+
+        e, coef = _pair_terms(spec, r2s, inv_r, r, sig, eps, qq, special, dtype)
+        coef = jnp.where(live, coef, 0.0)
+
+        fx_ref[...] += jnp.sum(coef * dx, axis=1)[None, None, :]
+        fy_ref[...] += jnp.sum(coef * dy, axis=1)[None, None, :]
+        fz_ref[...] += jnp.sum(coef * dz, axis=1)[None, None, :]
+        if compute_energy:
+            e = jnp.where(live, e, 0.0)
+            eng_ref[0, 0] += 0.5 * jnp.sum(e)
+            vir_ref[0, 0] += -0.5 * jnp.sum(coef * dx * dx)
+            vir_ref[0, 1] += -0.5 * jnp.sum(coef * dx * dy)
+            vir_ref[0, 2] += -0.5 * jnp.sum(coef * dx * dz)
+            vir_ref[0, 3] += -0.5 * jnp.sum(coef * dy * dy)
+            vir_ref[0, 4] += -0.5 * jnp.sum(coef * dy * dz)
+            vir_ref[0, 5] += -0.5 * jnp.sum(coef * dz * dz)
+
+
+def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
+                           blockpairs, finder, compute_energy=False,
+                           interpret=None):
+    """Run the fused kernel. Returns (forces (N, 3), energy, virial (3, 3))."""
+    n = coords.shape[0]
+    dtype = coords.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    order = blockpairs.order
+    n_pad = order.shape[0]
+    b = n_pad // BLOCK
+    m = finder.max_nbr_blocks
+    safe = jnp.minimum(order, n - 1)
+    is_real = order < n
+
+    def pack(arr, fill=0.0):
+        # (B, 1, BLOCK): TPU block shapes need the -2 dim == full dim or a
+        # multiple of 8; a singleton middle axis satisfies it exactly.
+        out = jnp.where(is_real, arr[safe], fill)
+        return out.reshape(b, 1, BLOCK).astype(dtype)
+
+    wrapped = boundary.wrap(coords)
+    px = pack(wrapped[:, 0])
+    py = pack(wrapped[:, 1])
+    pz = pack(wrapped[:, 2])
+    psig = pack(atoms.sigma)
+    peps = pack(atoms.epsilon)
+    pq = pack(atoms.charge)
+    pid = jnp.where(is_real, order, n).reshape(b, 1, BLOCK).astype(jnp.int32)
+    w_excl = int(exclusions.excl_table.shape[1])
+    w_spec = int(exclusions.spec_table.shape[1])
+    pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe], n)
+    pexcl = pexcl.reshape(b, BLOCK, w_excl).astype(jnp.int32)
+    pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe], n)
+    pspec = pspec.reshape(b, BLOCK, w_spec).astype(jnp.int32)
+    sides = jnp.asarray(boundary.side_lengths, dtype)
+    # non-periodic axes (inf) -> huge finite box so round(dx/box) == 0
+    box = jnp.where(jnp.isfinite(sides), sides, 1e30).reshape(1, 3)
+
+    a_spec = pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (i, 0, 0))
+    b_spec = pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (nbr[i, j], 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, m),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, j, nbr, val: (0, 0),
+                         memory_space=pltpu.SMEM),
+            a_spec, a_spec, a_spec, a_spec, a_spec, a_spec, a_spec,
+            pl.BlockSpec((1, BLOCK, w_excl), lambda i, j, nbr, val: (i, 0, 0)),
+            pl.BlockSpec((1, BLOCK, w_spec), lambda i, j, nbr, val: (i, 0, 0)),
+            b_spec, b_spec, b_spec, b_spec, b_spec, b_spec, b_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (i, 0, 0)),
+            pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (i, 0, 0)),
+            pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (i, 0, 0)),
+            pl.BlockSpec((1, 8), lambda i, j, nbr, val: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i, j, nbr, val: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    kernel = partial(_kernel, spec, n, w_excl, w_spec, compute_energy)
+    fx, fy, fz, eng, vir6 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, BLOCK), dtype),
+            jax.ShapeDtypeStruct((b, 1, BLOCK), dtype),
+            jax.ShapeDtypeStruct((b, 1, BLOCK), dtype),
+            jax.ShapeDtypeStruct((1, 8), dtype),
+            jax.ShapeDtypeStruct((1, 8), dtype),
+        ],
+        interpret=interpret,
+    )(blockpairs.nbr, blockpairs.nbr_valid, box,
+      px, py, pz, psig, peps, pq, pid, pexcl, pspec,
+      px, py, pz, psig, peps, pq, pid)
+
+    # unsort forces to the original atom order
+    flat_id = jnp.where(is_real, order, n)
+    forces = jnp.zeros((n, 3), dtype=dtype)
+    upd = jnp.stack([fx.reshape(-1), fy.reshape(-1), fz.reshape(-1)], axis=-1)
+    forces = forces.at[jnp.minimum(flat_id, n - 1)].add(
+        jnp.where(is_real[:, None], upd, 0.0))
+    energy = eng[0, 0]
+    vir = jnp.asarray([[vir6[0, 0], vir6[0, 1], vir6[0, 2]],
+                       [vir6[0, 1], vir6[0, 3], vir6[0, 4]],
+                       [vir6[0, 2], vir6[0, 4], vir6[0, 5]]], dtype=dtype)
+    return forces, energy, vir

@@ -137,3 +137,21 @@ def test_hydrogen_mass_repartitioning(ff):
                               neighbor_finder=None)
     assert float(jnp.sum(sys_hmr.masses)) == pytest.approx(
         float(jnp.sum(sys_ref.masses)), rel=1e-12)
+
+
+@pytest.mark.parametrize("model", ["obc2", "gbn2"])
+def test_implicit_solvent_vs_openmm(model):
+    """GBSA implicit solvent on 6mrr_nowater vs OpenMM (reference:
+    openmm_implicit_solvent.py — NoCutoff, kappa = 1/nm; data in
+    data/openmm_6mrr/amber/)."""
+    ff_vac = ForceField(f"{DATA}/force_fields/ff99SBildn.xml")
+    sys = system_from_pdb(f"{DATA}/6mrr_nowater.pdb", ff_vac,
+                          nonbonded_method="none", dtype=jnp.float64,
+                          neighbor_finder=None, dispersion_correction=False,
+                          implicit_solvent=model,
+                          implicit_solvent_kwargs={"kappa": 1.0})
+    e = float(mt.potential_energy(sys))
+    f, _ = mt.forces_virial(sys)
+    e_ref, f_ref = golden(model)
+    assert abs(e - e_ref) < 5e-3
+    assert np.max(np.linalg.norm(np.asarray(f) - f_ref, axis=1)) < 2e-2

@@ -259,3 +259,40 @@ def test_celltile_simulation():
     tiles = finder.find(final.coords, final.boundary, final.exclusions)
     e1 = float(mt.total_energy(final, tiles))
     assert abs(e1 - e0) / sys.n_atoms < 2e-3
+
+
+def test_pallas_block_kernel_matches_dense():
+    """The fused Pallas block-pair kernel (interpreter mode on CPU) agrees
+    with the dense path for LJ + reaction field with exclusions/specials."""
+    n = 80
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(50)
+    boundary = mt.cubic(2.4, dtype=dtype)
+    coords = mt.place_atoms(key, boundary, n, min_dist=0.25, dtype=dtype)
+    q = jax.random.uniform(jax.random.PRNGKey(51), (n,), minval=-0.5, maxval=0.5)
+    q = (q - jnp.mean(q)).astype(dtype)
+    atoms = mt.make_atoms(n=n, mass=10.0, sigma=0.3, epsilon=0.2, charge=q,
+                          dtype=dtype)
+    excl = mt.Exclusions.build(n, excl_pairs=[(0, 1), (5, 6)],
+                               special_pairs=[(2, 3)])
+    mk = lambda un: (mt.LennardJones(cutoff=mt.ShiftedForceCutoff(0.9),
+                                     use_neighbors=un, weight_special=0.5),
+                     mt.CoulombReactionField(dist_cutoff=0.9, use_neighbors=un,
+                                             weight_special=0.8333))
+    sys_d = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                      pairwise_inters=mk(False), exclusions=excl)
+    from mollytpu.ops.blockpairs import BlockPairFinder
+    finder = BlockPairFinder.setup(boundary, 0.9, n)
+    sys_p = sys_d.update(pairwise_inters=mk(True), neighbor_finder=finder)
+    bp = finder.find(coords, boundary, excl)
+    assert int(bp.overflow) == 0
+    e_d = float(mt.potential_energy(sys_d))
+    e_p = float(mt.potential_energy(sys_p, bp))
+    assert e_p == pytest.approx(e_d, rel=2e-5)
+    f_d = np.asarray(mt.forces(sys_d))
+    f_p = np.asarray(mt.forces(sys_p, bp))
+    scale = max(1.0, np.abs(f_d).max())
+    assert np.max(np.abs(f_d - f_p)) / scale < 1e-5
+    _, v_d = mt.forces_virial(sys_d, needs_virial=True)
+    _, v_p = mt.forces_virial(sys_p, bp, needs_virial=True)
+    assert np.allclose(np.asarray(v_d), np.asarray(v_p), atol=2e-3)
