@@ -174,6 +174,7 @@ class ForceField:
         self.cmap_rules: List[CMAPRule] = []
         self.cmap_maps: List = []  # each: 2D list of energies (kJ/mol)
         self.nonbonded: List[NonbondedEntry] = []
+        self.lj_entries: List[NonbondedEntry] = []  # separate LennardJonesForce
         self.nbfix: List[Tuple[str, str, float, float]] = []  # class1, class2, sigma, eps
         self.coulomb14scale = 1.0 / 1.2
         self.lj14scale = 0.5
@@ -252,9 +253,12 @@ class ForceField:
                     float(a.get("epsilon", 0.0)),
                     float(a["charge"]) if "charge" in a else None))
         for ljf in root.findall("LennardJonesForce"):
+            # a separate LennardJonesForce supersedes the NonbondedForce
+            # sigma/epsilon (which then carries only charges), as in OpenMM
+            self.lj14scale = float(ljf.attrib.get("lj14scale", self.lj14scale))
             for node in ljf.findall("Atom"):
                 a = node.attrib
-                self.nonbonded.append(NonbondedEntry(
+                self.lj_entries.append(NonbondedEntry(
                     _pattern(a, ""), float(a.get("sigma", 0.0)),
                     float(a.get("epsilon", 0.0)), None))
             for node in ljf.findall("NBFixPair"):
@@ -333,6 +337,13 @@ class ForceField:
                 self._nb_by_type[e.pattern.value] = e
             elif e.pattern.kind == CLASS:
                 self._nb_by_class[e.pattern.value] = e
+        self._lj_by_type = {}
+        self._lj_by_class = {}
+        for e in self.lj_entries:
+            if e.pattern.kind == TYPE:
+                self._lj_by_type[e.pattern.value] = e
+            elif e.pattern.kind == CLASS:
+                self._lj_by_class[e.pattern.value] = e
         self._templates_by_nameset: Dict[frozenset, List[str]] = {}
         for t in self.residues.values():
             self._templates_by_nameset.setdefault(t.atom_names, []).append(t.name)
@@ -341,21 +352,41 @@ class ForceField:
         e = self._nb_by_type.get(type_name)
         if e is None:
             e = self._nb_by_class.get(self.type_to_class.get(type_name, ""))
+        if self.lj_entries:
+            lj = self._lj_by_type.get(type_name)
+            if lj is None:
+                lj = self._lj_by_class.get(self.type_to_class.get(type_name, ""))
+            sigma = lj.sigma if lj else 1.0
+            epsilon = lj.epsilon if lj else 0.0
+            return sigma, epsilon, (e.charge if e else None)
         if e is None:
             return 1.0, 0.0, None  # OpenMM default sigma=1 eps=0
         return e.sigma, e.epsilon, e.charge
 
-    def find_template(self, res_name, atom_names, n_external=None):
-        """Template whose atom-name set equals the residue's. Prefers
-        name-compatible templates (NAME / N+NAME / C+NAME).
+    def find_template(self, res_name, atom_names, external_counts=None):
+        """Template whose atom-name set equals the residue's, disambiguated
+        by the per-atom external-bond pattern when given (e.g. CYX vs CYM
+        share an atom-name set and differ only in SG's external bond).
 
-        The reference does full VF2 graph matching (residues.jl:383-603);
-        name-set matching covers canonically-named inputs (OpenMM-written
-        PDBs) and fails loudly otherwise — graph matching is the planned
-        fallback.
+        external_counts: dict atom_name -> number of bonds leaving the
+        residue. The reference does full VF2 graph matching
+        (residues.jl:383-603); name-set matching covers canonically-named
+        inputs, with graph matching as the fallback (find_template_by_graph).
         """
         key = frozenset(atom_names)
         cands = self._templates_by_nameset.get(key, [])
+        if external_counts is not None and len(cands) > 1:
+            def ext_ok(tname):
+                t = self.residues[tname]
+                t_ext = {}
+                for e in t.external:
+                    t_ext[t.atoms[e].name] = t_ext.get(t.atoms[e].name, 0) + 1
+                res_ext = {k: v for k, v in external_counts.items() if v > 0}
+                return t_ext == res_ext
+
+            filtered = [c for c in cands if ext_ok(c)]
+            if filtered:
+                cands = filtered
         if len(cands) == 1:
             return self.residues[cands[0]]
         if len(cands) > 1:
@@ -439,3 +470,156 @@ class ForceField:
                 if r.specificity > bestspec:
                     bestspec, best = r.specificity, r
         return best
+
+
+# -- graph-based template matching (fallback when atom names differ) ----------
+
+def _graph_match(t_elems, t_adj, t_ext, r_elems, r_adj, r_ext):
+    """Element-labeled graph isomorphism between a template and a residue
+    (the reference does VF2, residues.jl:383-603). Returns mapping
+    template_idx -> residue_idx or None. Small graphs; backtracking with
+    element/degree/external pruning."""
+    n = len(t_elems)
+    if n != len(r_elems):
+        return None
+    if sorted(t_elems) != sorted(r_elems):
+        return None
+    # order template atoms: start from highest degree, then by connectivity
+    order = sorted(range(n), key=lambda i: -len(t_adj[i]))
+    ordered = []
+    seen = set()
+    while len(ordered) < n:
+        nxt = None
+        for i in order:
+            if i in seen:
+                continue
+            if not ordered or any(j in seen for j in t_adj[i]):
+                nxt = i
+                break
+        if nxt is None:
+            nxt = next(i for i in order if i not in seen)
+        ordered.append(nxt)
+        seen.add(nxt)
+
+    mapping = {}
+    used = set()
+
+    def feasible(ti, ri):
+        if t_elems[ti] != r_elems[ri]:
+            return False
+        if len(t_adj[ti]) != len(r_adj[ri]):
+            return False
+        if t_ext[ti] != r_ext[ri]:
+            return False
+        for tj in t_adj[ti]:
+            if tj in mapping and mapping[tj] not in r_adj[ri]:
+                return False
+        for tj in mapping:
+            if tj in t_adj[ti]:
+                continue
+            if mapping[tj] in r_adj[ri]:
+                return False
+        return True
+
+    def backtrack(pos):
+        if pos == len(ordered):
+            return True
+        ti = ordered[pos]
+        for ri in range(n):
+            if ri in used:
+                continue
+            if feasible(ti, ri):
+                mapping[ti] = ri
+                used.add(ri)
+                if backtrack(pos + 1):
+                    return True
+                del mapping[ti]
+                used.discard(ri)
+        return False
+
+    if backtrack(0):
+        return dict(mapping)
+    return None
+
+
+def _template_graph(ff, tmpl):
+    elems = [ff.atom_types[a.type].element for a in tmpl.atoms]
+    adj = [set() for _ in tmpl.atoms]
+    for (a, b) in tmpl.bonds:
+        adj[a].add(b)
+        adj[b].add(a)
+    ext = [0] * len(tmpl.atoms)
+    for e in tmpl.external:
+        ext[e] += 1
+    return elems, adj, ext
+
+
+def find_template_by_graph(ff, res_name, elements, internal_bonds, external_counts):
+    """Graph-match a residue against all templates with compatible element
+    multisets. internal_bonds: local (i, j) pairs; external_counts: per-atom
+    number of bonds leaving the residue. Returns (template, mapping
+    template_idx -> local_idx)."""
+    n = len(elements)
+    r_adj = [set() for _ in range(n)]
+    for (a, b) in internal_bonds:
+        r_adj[a].add(b)
+        r_adj[b].add(a)
+    key = sorted(elements)
+    names_pref = [res_name, "N" + res_name, "C" + res_name]
+    cands = sorted(
+        (t for t in ff.residues.values() if len(t.atoms) == n),
+        key=lambda t: (t.name not in names_pref,))
+    for tmpl in cands:
+        t_elems, t_adj, t_ext = _template_graph(ff, tmpl)
+        if sorted(t_elems) != key:
+            continue
+        mapping = _graph_match(t_elems, t_adj, t_ext, elements, r_adj,
+                               list(external_counts))
+        if mapping is not None:
+            return tmpl, mapping
+    raise KeyError(
+        f"no residue template graph-matches {res_name} "
+        f"(elements {key}, {len(internal_bonds)} bonds)")
+
+
+# covalent radii (nm) for distance-based bond detection
+COVALENT_RADII = {
+    "H": 0.031, "C": 0.076, "N": 0.071, "O": 0.066, "S": 0.105, "P": 0.107,
+    "F": 0.057, "Cl": 0.102, "CL": 0.102, "Br": 0.120, "BR": 0.120,
+    "I": 0.139, "Na": 0.166, "NA": 0.166, "K": 0.203, "Mg": 0.141,
+    "MG": 0.141, "Ca": 0.176, "CA": 0.176, "Zn": 0.122, "ZN": 0.122,
+    "Fe": 0.132, "FE": 0.132, "Se": 0.120, "?": 0.077,
+}
+
+
+def detect_bonds(coords, elements, tolerance=1.25):
+    """Distance-based covalent bond detection with cell binning (used to
+    build the topology graph before template matching; the reference instead
+    ships OpenMM's residues.xml standard-bond templates)."""
+    import numpy as _np
+    coords = _np.asarray(coords)
+    n = coords.shape[0]
+    radii = _np.array([COVALENT_RADII.get(e, 0.077) for e in elements])
+    max_bond = tolerance * 2.0 * radii.max()
+    cell = max(max_bond, 0.2)
+    keys = _np.floor(coords / cell).astype(_np.int64)
+    cells = {}
+    for i in range(n):
+        cells.setdefault(tuple(keys[i]), []).append(i)
+    bonds = []
+    offs = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
+    for (cx, cy, cz), members in cells.items():
+        neigh = []
+        for (ox, oy, oz) in offs:
+            neigh.extend(cells.get((cx + ox, cy + oy, cz + oz), ()))
+        neigh = _np.asarray(neigh)
+        for i in members:
+            d = _np.linalg.norm(coords[neigh] - coords[i], axis=1)
+            cut = tolerance * (radii[i] + radii[neigh])
+            hits = neigh[(d < cut) & (neigh > i)]
+            for j in hits:
+                # never bond two hydrogens or two metals
+                if elements[i] == "H" and elements[int(j)] == "H":
+                    continue
+                bonds.append((i, int(j)))
+    return sorted(set(bonds))

@@ -261,15 +261,46 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
     struct = read_pdb(path)
     n = struct.n_atoms
 
-    # template matching + per-atom assignment
+    # geometric bond detection feeds the residue graphs used for template
+    # matching (the reference instead matches OpenMM's residues.xml bond
+    # templates by name; geometry-based detection handles nonstandard naming)
+    from .forcefield import detect_bonds, find_template_by_graph
+    geo_bonds = sorted(set(detect_bonds(struct.coords, struct.elements))
+                       | set(struct.conect))
+    res_of = struct.res_index_of_atom
+    internal = [[] for _ in struct.residues]
+    external_count = np.zeros(n, dtype=np.int64)
+    for (a, b) in geo_bonds:
+        if res_of[a] == res_of[b]:
+            ri = res_of[a]
+            base = {g: loc for loc, g in enumerate(struct.residues[ri].atom_indices)}
+            internal[ri].append((base[a], base[b]))
+        else:
+            external_count[a] += 1
+            external_count[b] += 1
+
+    # template matching + per-atom assignment: exact atom-name set first,
+    # graph isomorphism as fallback (reference: residues.jl:383-603)
     templates, atom_map = [], []
     type_of = [None] * n
     charge_of = np.zeros(n)
-    for res in struct.residues:
-        tmpl = ff.find_template(res.name, res.atom_names)
+    for ri, res in enumerate(struct.residues):
+        mapping = None
+        ext_counts = {nm: int(external_count[g])
+                      for nm, g in zip(res.atom_names, res.atom_indices)}
+        try:
+            tmpl = ff.find_template(res.name, res.atom_names, ext_counts)
+            name_to_global = dict(zip(res.atom_names, res.atom_indices))
+            mapping = {ti: name_to_global[ta.name]
+                       for ti, ta in enumerate(tmpl.atoms)}
+        except KeyError:
+            elems = [struct.elements[g] for g in res.atom_indices]
+            ext = [external_count[g] for g in res.atom_indices]
+            tmpl, local_map = find_template_by_graph(
+                ff, res.name, elems, internal[ri], ext)
+            mapping = {ti: res.atom_indices[local_map[ti]]
+                       for ti in range(len(tmpl.atoms))}
         templates.append(tmpl)
-        name_to_global = dict(zip(res.atom_names, res.atom_indices))
-        mapping = {ti: name_to_global[ta.name] for ti, ta in enumerate(tmpl.atoms)}
         atom_map.append(mapping)
         for ti, ta in enumerate(tmpl.atoms):
             g = mapping[ti]
@@ -426,6 +457,26 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
             arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
             coeffs=jnp.asarray(np.array([r[4] for r in imp_rb_rows]), dtype)))
 
+    # CMAP terms (5-atom phi/psi correction maps)
+    if ff.cmap_rules:
+        cmap_rows = []
+        for (a, b_, c_, d_, e_) in build_cmaps(adj, top_torsions):
+            rule = ff.resolve_cmap(type_of[a], type_of[b_], type_of[c_],
+                                   type_of[d_], type_of[e_])
+            if rule is not None:
+                cmap_rows.append((a, b_, c_, d_, e_, rule.map_index))
+        if cmap_rows:
+            from ..ops.cmap import cmap_coefficients, make_cmap_list
+            sizes = {int(math.isqrt(len(m))) for m in ff.cmap_maps}
+            n_grid = max(sizes)
+            coeff_table = np.stack([
+                cmap_coefficients(np.asarray(m).reshape(n_grid, n_grid))
+                for m in ff.cmap_maps])
+            arr = np.array(cmap_rows, dtype=np.int64)
+            specific_lists.append(make_cmap_list(
+                arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4],
+                arr[:, 5], jnp.asarray(coeff_table, dtype), n_grid))
+
     # hydrogen mass repartitioning (setup.jl:1634)
     if hydrogen_mass is not None:
         hm = float(hydrogen_mass)
@@ -461,13 +512,36 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         atom_type=jnp.asarray([type_id[t] for t in type_of], jnp.int32),
         dtype=dtype)
 
+    # NBFix pair overrides (LennardJonesForce NBFixPair entries) as static
+    # mixing exceptions keyed by atom-type id
+    sig_mixing, eps_mixing = None, None
+    if ff.nbfix:
+        from ..ops.mixing import (MixingException, ExceptionTable,
+                                  LorentzMixing, GeometricMixing)
+        ki, kj, sv, ev = [], [], [], []
+        for (c1, c2, s_nb, e_nb) in ff.nbfix:
+            t1s = [t for t in uniq_types
+                   if t == c1 or ff.type_to_class.get(t) == c1]
+            t2s = [t for t in uniq_types
+                   if t == c2 or ff.type_to_class.get(t) == c2]
+            for t1 in t1s:
+                for t2 in t2s:
+                    ki.append(type_id[t1])
+                    kj.append(type_id[t2])
+                    sv.append(float(s_nb))
+                    ev.append(float(e_nb))
+        if ki:
+            sig_mixing = MixingException(LorentzMixing(), ExceptionTable(
+                tuple(ki), tuple(kj), tuple(sv)))
+            eps_mixing = MixingException(GeometricMixing(), ExceptionTable(
+                tuple(ki), tuple(kj), tuple(ev)))
+
     # nonbonded interactions
     rc = float(dist_cutoff)
     general = []
     if nonbonded_method == "cutoff":
         pairwise = (
-            LennardJones(cutoff=DistanceCutoff(rc), use_neighbors=True,
-                         weight_special=ff.lj14scale),
+            _make_lj(rc, ff.lj14scale, sig_mixing, eps_mixing),
             CoulombReactionField(dist_cutoff=rc,
                                  solvent_dielectric=solvent_dielectric,
                                  use_neighbors=True,
@@ -475,8 +549,7 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         )
     elif nonbonded_method == "pme":
         pairwise = (
-            LennardJones(cutoff=DistanceCutoff(rc), use_neighbors=True,
-                         weight_special=ff.lj14scale),
+            _make_lj(rc, ff.lj14scale, sig_mixing, eps_mixing),
             CoulombEwald(dist_cutoff=rc, error_tol=pme_error_tol,
                          use_neighbors=True, weight_special=ff.coulomb14scale,
                          approximate_erfc=approximate_pme),
@@ -551,6 +624,16 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         hetero_atom=np.asarray([struct.residues[r].hetero
                                 for r in struct.res_index_of_atom])))
     return sys
+
+
+def _make_lj(rc, lj14scale, sig_mixing, eps_mixing):
+    kw = {}
+    if sig_mixing is not None:
+        kw["sigma_mixing"] = sig_mixing
+    if eps_mixing is not None:
+        kw["epsilon_mixing"] = eps_mixing
+    return LennardJones(cutoff=DistanceCutoff(rc), use_neighbors=True,
+                        weight_special=lj14scale, **kw)
 
 
 def _max_partners(pairs, n):

@@ -16,18 +16,36 @@ import jax.numpy as jnp
 
 
 class LorentzMixing:
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+    def __hash__(self):
+        return hash(type(self))
+
     @staticmethod
     def mix(x, y):
         return (x + y) * 0.5
 
 
 class GeometricMixing:
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+    def __hash__(self):
+        return hash(type(self))
+
     @staticmethod
     def mix(x, y):
         return jnp.sqrt(x * y)
 
 
 class WaldmanHaglerMixing:
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+    def __hash__(self):
+        return hash(type(self))
+
     """sigma: sixth-power mean; epsilon uses the paired WH formula."""
 
     @staticmethod
@@ -41,12 +59,24 @@ class WaldmanHaglerMixing:
 
 
 class FenderHalseyMixing:
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+    def __hash__(self):
+        return hash(type(self))
+
     @staticmethod
     def mix(x, y):
         return 2.0 * x * y / jnp.maximum(x + y, 1e-30)
 
 
 class InverseMixing:
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+    def __hash__(self):
+        return hash(type(self))
+
     """Harmonic mean, used for Buckingham B (src/mixing.jl:57-60)."""
 
     @staticmethod
@@ -55,6 +85,12 @@ class InverseMixing:
 
 
 class MinimumMixing:
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+    def __hash__(self):
+        return hash(type(self))
+
     """min(1, min(li, lj)) — alchemical lambda mixing (src/mixing.jl:122-125)."""
 
     @staticmethod
@@ -62,41 +98,39 @@ class MinimumMixing:
         return jnp.minimum(1.0, jnp.minimum(x, y))
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=True)
 class ExceptionTable:
-    """NBFix pair overrides: parallel key arrays (type_i, type_j) -> value.
+    """NBFix pair overrides: parallel key tuples (type_i, type_j) -> value.
 
-    Branch-free lookup: scan all K exceptions, select the last match
-    (matches get_pair over ExceptionList, src/mixing.jl:90-101).
+    Stored as plain tuples so the table is hashable and can live in the
+    static (trace-time constant) part of an interaction pytree; the few
+    exception entries become compiled constants. Branch-free lookup: scan
+    all K exceptions, select the last match (matches get_pair over
+    ExceptionList, src/mixing.jl:90-101).
     """
 
-    keys_i: jax.Array  # (K,) int32 atom types
-    keys_j: jax.Array  # (K,) int32
-    values: jax.Array  # (K,)
+    keys_i: tuple  # (K,) int atom-type ids
+    keys_j: tuple
+    values: tuple  # (K,) floats
 
     def lookup(self, ti, tj, default):
-        hit = ((self.keys_i == ti) & (self.keys_j == tj)) | (
-            (self.keys_i == tj) & (self.keys_j == ti)
-        )
+        ki = jnp.asarray(self.keys_i, dtype=jnp.int32)
+        kj = jnp.asarray(self.keys_j, dtype=jnp.int32)
+        vals = jnp.asarray(self.values, dtype=jnp.result_type(default))
+        hit = ((ki == ti) & (kj == tj)) | ((ki == tj) & (kj == ti))
         any_hit = jnp.any(hit)
         # Last matching value, like the reference loop.
-        idx = jnp.max(jnp.where(hit, jnp.arange(self.keys_i.shape[0]), -1))
-        val = self.values[jnp.maximum(idx, 0)]
+        idx = jnp.max(jnp.where(hit, jnp.arange(len(self.keys_i)), -1))
+        val = vals[jnp.maximum(idx, 0)]
         return jnp.where(any_hit, val, default)
 
 
-jax.tree_util.register_dataclass(
-    ExceptionTable, data_fields=["keys_i", "keys_j", "values"], meta_fields=[]
-)
-
-
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=True)
 class MixingException:
     """Wrap a base mixing rule with an NBFix exception table
-    (src/mixing.jl:103-119). `mixing` is the base rule (static), the table is
-    a pytree of arrays."""
+    (src/mixing.jl:103-119). Fully static/hashable."""
 
-    mixing: object = dataclasses.field(metadata={"static": True})
+    mixing: object
     exceptions: ExceptionTable = None
 
     def mix_with_types(self, x, y, ti, tj):
@@ -104,11 +138,6 @@ class MixingException:
         if self.exceptions is None:
             return default
         return self.exceptions.lookup(ti, tj, default)
-
-
-jax.tree_util.register_dataclass(
-    MixingException, data_fields=["exceptions"], meta_fields=["mixing"]
-)
 
 
 def mix_sigma(rule, ai, aj):

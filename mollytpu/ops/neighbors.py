@@ -118,11 +118,17 @@ class DistanceNeighborFinder:
         drs = boundary.mic_parts(diffs)
         d2 = sum(x * x for x in drs)  # (N, N)
         js = jnp.arange(n)
-        upper = js[None, :] > js[:, None]
+        # balanced pair ownership: pair {i, j} belongs to min(i, j) when
+        # i + j is even, else max(i, j) — each row holds ~half its sphere
+        # regardless of index (a plain j > i rule gives atom 0 its full
+        # sphere and atom N-1 nothing, overflowing low rows)
+        ii = js[:, None]
+        jj = js[None, :]
+        own = jnp.where((ii + jj) % 2 == 0, jj > ii, jj < ii)
         within = d2 < self.dist_cutoff ** 2
         excl = jax.vmap(_membership)(exclusions.excl_table, jnp.broadcast_to(js, (n, n)))
         spec = jax.vmap(_membership)(exclusions.spec_table, jnp.broadcast_to(js, (n, n)))
-        valid = upper & within & ~excl
+        valid = own & within & ~excl
         idx, special, overflow = _compact_rows(
             jnp.broadcast_to(js, (n, n)), valid, spec, self.max_neighbors, n)
         return Neighbors(idx, special, overflow, jnp.asarray(step_n, jnp.int32))
@@ -226,7 +232,9 @@ class CellListNeighborFinder:
         diffs = tuple(coords[:, k][safe_j] - coords[:, k][:, None] for k in range(3))
         drs = boundary.mic_parts(diffs)
         d2 = drs[0] ** 2 + drs[1] ** 2 + drs[2] ** 2
-        in_range = (js < n) & (js > jnp.arange(n)[:, None]) & (d2 < self.dist_cutoff ** 2)
+        ii = jnp.arange(n)[:, None]
+        own = jnp.where((ii + js) % 2 == 0, js > ii, js < ii)
+        in_range = (js < n) & own & (d2 < self.dist_cutoff ** 2)
         excl = jax.vmap(_membership)(exclusions.excl_table, safe_j)
         spec = jax.vmap(_membership)(exclusions.spec_table, safe_j)
         valid = in_range & ~excl

@@ -117,7 +117,7 @@ def test_starting_velocities_energies(ff):
                           nonbonded_method="cutoff", dtype=jnp.float64,
                           neighbor_finder=None,
                           velocities=jnp.asarray(vels))
-    ke = float(mt.kinetic_energy(sys))
+    ke = float(mt.kinetic_energy(sys.masses, sys.velocities))
     assert ke == pytest.approx(65521.87288132431, rel=1e-9)
     t = float(mt.temperature(sys.masses, sys.velocities, sys.n_dof))
     assert t == pytest.approx(329.3202932884933, rel=1e-9)
@@ -155,3 +155,25 @@ def test_implicit_solvent_vs_openmm(model):
     e_ref, f_ref = golden(model)
     assert abs(e - e_ref) < 5e-3
     assert np.max(np.linalg.norm(np.asarray(f) - f_ref, axis=1)) < 2e-2
+
+
+def test_a99sb_disp_forces_vs_openmm():
+    """a99SB-disp (separate LennardJonesForce + NBFix backbone H-bond pair,
+    graph-matched termini, disulfide CYX disambiguation) against OpenMM
+    forces (reference: test/protein.jl:717-759, gate mean diff < 0.15)."""
+    import dataclasses
+    ff2 = ForceField(f"{DATA}/force_fields/a99SB-disp.xml",
+                     f"{DATA}/force_fields/a99SB-disp_water.xml")
+    for name in ["5AWL_A_noHET", "bpti"]:
+        sys = system_from_pdb(f"{DATA}/a99SB-disp_refs/{name}.pdb", ff2,
+                              nonbonded_method="pme", approximate_pme=False,
+                              dist_cutoff=1.0, dtype=jnp.float64,
+                              neighbor_finder=None)
+        pin = tuple(dataclasses.replace(p, use_neighbors=False)
+                    for p in sys.pairwise_inters)
+        sys = sys.update(pairwise_inters=pin)
+        f, _ = mt.forces_virial(sys)
+        ref = np.array([[float(v.split(" ")[0]) for v in line.strip().split(",")]
+                        for line in open(f"{DATA}/a99SB-disp_refs/{name}.dat")])
+        diff = np.linalg.norm(np.asarray(f) - ref, axis=1)
+        assert diff.mean() < 0.15, (name, diff.mean())

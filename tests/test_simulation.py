@@ -136,9 +136,9 @@ def test_neighbor_exclusions_and_specials():
         for k in range(idx.shape[1]):
             j = idx[i, k]
             if j < n:
-                pairs.add((i, j))
+                pairs.add((min(i, j), max(i, j)))
                 if spec[i, k]:
-                    specials.add((i, j))
+                    specials.add((min(i, j), max(i, j)))
     assert (0, 1) not in pairs and (2, 3) not in pairs
     assert (4, 5) in specials
     assert len(pairs) == n * (n - 1) // 2 - 2
