@@ -66,6 +66,42 @@ from .sim.mc import (
 from .sim.remd import ReplicaExchangeMD
 from .ops.constraints import SHAKERattle, angle_constraint
 from .sim.simulate import simulate
+from .free_energy.mbar import (
+    MBARInput, assemble_mbar_inputs, iterate_mbar, mbar_weights, mbar_pmf,
+    free_energy_differences, PMF,
+)
+from .free_energy.stats import (
+    statistical_inefficiency, subsample_indices, effective_sample_size,
+)
+from .free_energy.cv import (
+    CalcSingleDist, CalcDist, CalcMinDist, CalcMaxDist, CalcCMDist, CalcRg,
+    CalcRMSD, CalcTorsion, cv_gradient,
+)
+from .free_energy.bias import (
+    LinearBias, SquareBias, FlatBottomSquareBias, PeriodicFlatBottomBias,
+    BiasPotential,
+)
+from .free_energy.thermo import (
+    ThermoState, LambdaHamiltonian, AlchemicalPartition, set_lambda,
+)
+from .free_energy.extended_ensemble import ExtendedStateSpace, ActiveThermoState
+from .free_energy.awh import AWHSimulation, AWHState, GridBias
+from .free_energy.tss import TSSSimulation, TSSState, TSSWindow, TSSGraph
+from .free_energy.alchemy import (
+    DefaultLambdaScheduler, NAMDLambdaScheduler, QuartersLambdaScheduler,
+    EleScaledLambdaScheduler,
+)
+from .utils import analysis
+from .utils.analysis import (
+    displacements, distances, rmsd, radius_gyration, hydrodynamic_radius, rdf,
+    dipole_moment,
+)
+from .utils.trajectory import TrajectoryWriter, EnsembleSystem
+from .utils.checkpoint import save_checkpoint, load_checkpoint
+from .ops.cmap import cmap_coefficients, make_cmap_list
+from .ops.gbsa import ImplicitSolventOBC, ImplicitSolventGBN2, make_implicit_solvent
+from .ops.ewald import Ewald, PME
+from .ops.blockpairs import BlockPairFinder, BlockPairs
 from .utils import loggers
 from .utils.loggers import (
     GeneralObservableLogger, TemperatureLogger, CoordinatesLogger,

@@ -1,1 +1,1 @@
-from . import loggers
+from . import analysis, checkpoint, loggers, trajectory

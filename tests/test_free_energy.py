@@ -1,0 +1,223 @@
+"""Free energy & enhanced sampling tests (strategy of reference test/bias.jl,
+test/tss.jl, and the MBAR unit checks): MBAR on an analytic harmonic-oscillator
+ladder, bias potentials steering CVs, lambda hamiltonians, AWH/TSS drivers,
+statistical inefficiency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mollytpu as mt
+from tests.test_simulation import lj_fluid
+
+
+def test_mbar_harmonic_oscillators():
+    """MBAR recovers the analytic free-energy differences of 1D harmonic
+    oscillators with different spring constants: f_k = 0.5 ln(k_k)."""
+    rng = np.random.default_rng(0)
+    kT = 1.0
+    ks = np.array([1.0, 2.0, 4.0])
+    n_samp = 4000
+    # samples x ~ N(0, kT/k) from each state
+    xs = [rng.normal(0.0, np.sqrt(kT / k), n_samp) for k in ks]
+    # u_kn: reduced energy of every sample in every state
+    all_x = np.concatenate(xs)
+    u_kn = 0.5 * ks[:, None] * all_x[None, :] ** 2 / kT
+    inp = mt.MBARInput(u_kn=jnp.asarray(u_kn),
+                       n_k=jnp.asarray([n_samp] * 3))
+    f = np.asarray(mt.iterate_mbar(inp))
+    f_exact = 0.5 * np.log(ks / ks[0])  # relative free energies
+    assert np.allclose(f - f[0], f_exact, atol=0.05), (f, f_exact)
+    w = np.asarray(mt.mbar_weights(inp))
+    assert np.allclose(w.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_mbar_pmf():
+    """PMF of a single harmonic state reproduces the parabola."""
+    rng = np.random.default_rng(1)
+    kT = 1.0
+    n = 20000
+    x = rng.normal(0.0, 1.0, n)
+    u_kn = (0.5 * x ** 2 / kT)[None, :]
+    inp = mt.MBARInput(u_kn=jnp.asarray(u_kn), n_k=jnp.asarray([n]))
+    from mollytpu.units import KB
+    temp = 1.0 / KB  # kT = 1 in internal units
+    edges = np.linspace(-4.0, 4.0, 41)
+    pmf = mt.mbar_pmf(inp, jnp.asarray(x), edges, temp,
+                      target_state_u=jnp.asarray(u_kn[0]))
+    c = np.asarray(pmf.centers)
+    v = np.asarray(pmf.values)
+    v_exact = 0.5 * c ** 2 - (0.5 * c ** 2).min()
+    core = np.abs(c) < 2.0  # edge bins collect the clipped tails
+    assert np.max(np.abs(v[core] - v_exact[core])) < 0.15
+
+
+def test_statistical_inefficiency():
+    rng = np.random.default_rng(2)
+    white = rng.normal(size=4000)
+    g_white = mt.statistical_inefficiency(white)
+    assert g_white < 1.5
+    # AR(1) with correlation time tau: g ~ (1+rho)/(1-rho)
+    rho = 0.9
+    ar = np.zeros(20000)
+    for i in range(1, len(ar)):
+        ar[i] = rho * ar[i - 1] + rng.normal()
+    g_ar = mt.statistical_inefficiency(ar)
+    assert 10.0 < g_ar < 30.0  # exact: 19
+
+
+def test_cv_values_and_gradients():
+    key = jax.random.PRNGKey(60)
+    boundary = mt.cubic(3.0, dtype=jnp.float64)
+    coords = mt.place_atoms(key, boundary, 10, min_dist=0.3, dtype=jnp.float64)
+    masses = jnp.full((5,), 2.0)
+    cvs = [
+        mt.CalcSingleDist(0, 5),
+        mt.CalcDist(group1=jnp.arange(3), group2=jnp.arange(5, 8)),
+        mt.CalcMinDist(group1=jnp.arange(3), group2=jnp.arange(5, 8)),
+        mt.CalcCMDist(group1=jnp.arange(5), group2=jnp.arange(5, 10),
+                      masses1=masses, masses2=masses),
+        mt.CalcRg(group=jnp.arange(10), masses=jnp.full((10,), 1.5)),
+        mt.CalcRMSD(reference=coords[:6] + 0.02, group=jnp.arange(6)),
+        mt.CalcTorsion(0, 1, 2, 3),
+    ]
+    for cv in cvs:
+        v = float(cv.value(coords, boundary))
+        assert np.isfinite(v), type(cv).__name__
+        g = mt.cv_gradient(cv, coords, boundary)
+        assert np.all(np.isfinite(np.asarray(g))), type(cv).__name__
+        # finite-difference check on one coordinate
+        h = 1e-6
+        cp = coords.at[1, 0].add(h)
+        cm = coords.at[1, 0].add(-h)
+        fd = (float(cv.value(cp, boundary)) - float(cv.value(cm, boundary))) / (2 * h)
+        assert float(g[1, 0]) == pytest.approx(fd, abs=1e-4), type(cv).__name__
+
+
+def test_bias_potential_steers_cv():
+    """An umbrella on the 0-1 distance pulls it toward the target."""
+    sys = lj_fluid(n_atoms=12, box=2.4, temp=50.0)
+    cv = mt.CalcSingleDist(0, 1)
+    d0 = float(cv.value(sys.coords, sys.boundary))
+    target = 0.45
+    bias = mt.BiasPotential(bias=mt.SquareBias(k=5000.0, cv0=target), cv=cv)
+    sys = sys.update(general_inters=(bias,))
+    final, _ = mt.simulate(sys, mt.Langevin(dt=0.001, temperature=50.0,
+                                            friction=5.0), 300,
+                           key=jax.random.PRNGKey(61))
+    d1 = float(cv.value(final.coords, final.boundary))
+    assert abs(d1 - target) < abs(d0 - target) or abs(d1 - target) < 0.05
+
+
+def test_flat_bottom_and_periodic_biases():
+    fb = mt.FlatBottomSquareBias(k=100.0, cv0=1.0, width=0.2)
+    assert float(fb(1.05)) == 0.0
+    assert float(fb(1.3)) == pytest.approx(0.5 * 100 * 0.2 ** 2)
+    pb = mt.PeriodicFlatBottomBias(k=100.0, cv0=3.1, width=0.2)
+    assert float(pb(-3.1)) == pytest.approx(float(pb(3.1 + 2 * (np.pi - 3.1))), abs=1e-6)
+
+
+def test_lambda_hamiltonian_and_partition():
+    """Soft-core energy interpolates monotonically-ish in lambda; the
+    partition's cross energies match direct evaluation."""
+    key = jax.random.PRNGKey(62)
+    boundary = mt.cubic(2.0, dtype=jnp.float64)
+    coords = mt.place_atoms(key, boundary, 10, min_dist=0.3, dtype=jnp.float64)
+    atoms = mt.make_atoms(n=10, mass=10.0, sigma=0.3, epsilon=0.2, lam=1.0,
+                          alch_role=jnp.asarray([2] * 3 + [0] * 7), dtype=jnp.float64)
+    sc = mt.LennardJonesSoftCoreBeutler(alpha=0.5)
+    sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                    pairwise_inters=(sc, mt.LennardJones(use_neighbors=False)))
+    lh = mt.LambdaHamiltonian()
+    lams = jnp.asarray([0.0, 0.25, 0.5, 0.75, 1.0])
+    es = np.asarray(lh.energies(sys, lams))
+    assert np.all(np.isfinite(es))
+    part = mt.AlchemicalPartition()
+    es2 = np.asarray(part.cross_energies(sys, lams))
+    direct = np.array([float(lh.energy(sys, float(l))) for l in lams])
+    assert np.allclose(es2, direct, atol=1e-9)
+
+
+def test_awh_simulation_runs():
+    sys = lj_fluid(n_atoms=10, box=2.2, temp=80.0)
+    cv = mt.CalcSingleDist(0, 1)
+    awh = mt.AWHSimulation(cv=cv,
+                           simulator=mt.Langevin(dt=0.002, temperature=80.0,
+                                                 friction=5.0),
+                           temperature=80.0, lo=0.2, hi=1.2, n_bins=10,
+                           n_steps_per_update=20)
+    final, state = awh.simulate(sys, 10, key=jax.random.PRNGKey(63))
+    assert state.n_updates == 10
+    centers, pmf = awh.pmf(state)
+    assert np.all(np.isfinite(pmf))
+    assert np.all(np.isfinite(np.asarray(final.coords)))
+
+
+def test_tss_simulation_runs():
+    key = jax.random.PRNGKey(64)
+    boundary = mt.cubic(2.0, dtype=jnp.float64)
+    coords = mt.place_atoms(key, boundary, 8, min_dist=0.35, dtype=jnp.float64)
+    atoms = mt.make_atoms(n=8, mass=10.0, sigma=0.3, epsilon=0.3, lam=1.0,
+                          alch_role=jnp.asarray([2, 2] + [0] * 6),
+                          dtype=jnp.float64)
+    vels = mt.random_velocities(jax.random.PRNGKey(65), atoms.mass, 80.0,
+                                dtype=jnp.float64)
+    sc = mt.LennardJonesSoftCoreBeutler(alpha=0.5)
+    sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                    velocities=vels, pairwise_inters=(sc,))
+    tss = mt.TSSSimulation(lambdas=jnp.linspace(0.0, 1.0, 4),
+                           simulator=mt.Langevin(dt=0.002, temperature=80.0,
+                                                 friction=5.0),
+                           temperature=80.0, n_steps_per_move=10)
+    final, state, f = tss.simulate(sys, 12, key=jax.random.PRNGKey(66))
+    assert np.all(np.isfinite(f))
+    assert 0 <= state.current_state < 4
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    sys = lj_fluid(n_atoms=8, box=2.0)
+    key = jax.random.PRNGKey(67)
+    path = str(tmp_path / "ckpt.npz")
+    mt.save_checkpoint(path, sys, step_n=42, key=key)
+    sys2, step, key2, _ = mt.load_checkpoint(path, sys.update(
+        coords=jnp.zeros_like(sys.coords)))
+    assert step == 42
+    assert np.allclose(np.asarray(sys2.coords), np.asarray(sys.coords))
+    # resumed runs reproduce
+    a, _ = mt.simulate(sys, mt.Langevin(dt=0.001, temperature=50.0, friction=1.0),
+                       10, key=key)
+    b, _ = mt.simulate(sys2, mt.Langevin(dt=0.001, temperature=50.0, friction=1.0),
+                       10, key=key2)
+    assert np.allclose(np.asarray(a.coords), np.asarray(b.coords))
+
+
+def test_trajectory_writer_roundtrip(tmp_path):
+    sys = lj_fluid(n_atoms=6, box=2.0)
+    for fmt in ("xyz", "pdb", "dcd"):
+        path = str(tmp_path / f"traj.{fmt}")
+        writer = mt.TrajectoryWriter(5, path)
+        final, _ = mt.simulate(sys, mt.VelocityVerlet(dt=0.001), 20,
+                               key=jax.random.PRNGKey(68),
+                               loggers={"traj": writer})
+        ens = mt.EnsembleSystem.from_file(sys, path)
+        assert len(ens) == writer.n_written
+        # last written frame should be recoverable within format precision
+        frame = ens.frame(len(ens) - 1)
+        assert frame.coords.shape == sys.coords.shape
+
+
+def test_analysis_functions():
+    sys = lj_fluid(n_atoms=20, box=2.0)
+    d = mt.distances(sys.coords, sys.boundary)
+    assert float(d[0, 0]) == 0.0
+    r = float(mt.rmsd(sys.coords, sys.coords + 0.1))
+    assert r == pytest.approx(0.0, abs=1e-6)  # rigid translation removed
+    rg = float(mt.radius_gyration(sys.coords, sys.masses))
+    assert 0.1 < rg < 2.0
+    rh = float(mt.hydrodynamic_radius(sys.coords, sys.boundary))
+    assert np.isfinite(rh)
+    centers, g = mt.rdf(sys.coords, sys.boundary)
+    assert np.all(np.isfinite(g))
+    dm = mt.dipole_moment(sys.coords, jnp.ones(20))
+    assert dm.shape == (3,)
