@@ -66,6 +66,7 @@ from .sim.mc import (
 from .sim.remd import ReplicaExchangeMD
 from .ops.constraints import SHAKERattle, angle_constraint
 from .sim.simulate import simulate
+from .sim.simulate import simulate_differentiable
 from .free_energy.mbar import (
     MBARInput, assemble_mbar_inputs, iterate_mbar, mbar_weights, mbar_pmf,
     free_energy_differences, PMF,
@@ -102,12 +103,17 @@ from .ops.cmap import cmap_coefficients, make_cmap_list
 from .ops.gbsa import ImplicitSolventOBC, ImplicitSolventGBN2, make_implicit_solvent
 from .ops.ewald import Ewald, PME
 from .ops.blockpairs import BlockPairFinder, BlockPairs
+from .models.setup import system_from_pdb
+from .models.forcefield import ForceField
+from .models.gromacs import system_from_gromacs
 from .utils import loggers
 from .utils.loggers import (
     GeneralObservableLogger, TemperatureLogger, CoordinatesLogger,
     VelocitiesLogger, ForcesLogger, KineticEnergyLogger, PotentialEnergyLogger,
     TotalEnergyLogger, VolumeLogger, BoxLogger, DensityLogger, VirialLogger,
     ScalarVirialLogger, PressureLogger, ScalarPressureLogger,
+    AverageObservableLogger, TimeCorrelationLogger, DisplacementsLogger,
+    ReplicaExchangeLogger, MonteCarloLogger, autocorrelation,
 )
 
 __version__ = "0.1.0"

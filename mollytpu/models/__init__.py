@@ -1,1 +1,1 @@
-from . import forcefield, pdb, setup
+from . import forcefield, gromacs, pdb, setup

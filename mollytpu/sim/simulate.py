@@ -127,3 +127,39 @@ def _stack(values):
         return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *values)
     except Exception:
         return values
+
+
+def simulate_differentiable(sys, simulator, n_steps, key=None, neighbors=None,
+                            remat=True):
+    """Fully-traced simulation for autodiff: one lax.scan, no host touch
+    points, optional per-step rematerialization so trajectory gradients fit
+    in memory (replaces the reference's Enzyme-based differentiable MD,
+    ext/MollyEnzymeExt.jl — JAX differentiates the whole trajectory
+    natively). Returns the final System.
+
+    Differentiate e.g. with
+        jax.grad(lambda s: observable(simulate_differentiable(s, sim, n)))(sys)
+    """
+    import jax as _jax
+
+    if key is None:
+        key = _jax.random.PRNGKey(0)
+    if neighbors is None:
+        neighbors = find_neighbors(sys.neighbor_finder, sys.coords,
+                                   sys.boundary, sys.exclusions, 0)
+    aux = simulator.init_aux(sys, neighbors, needs_virial=False)
+
+    def body(carry, i):
+        sys, neighbors, aux, key = carry
+        key, sub = _jax.random.split(key)
+        sys, aux = simulator.step(sys, neighbors, aux, i, sub,
+                                  needs_virial=False)
+        neighbors = maybe_rebuild(sys.neighbor_finder, neighbors, sys.coords,
+                                  sys.boundary, sys.exclusions, i + 1)
+        return (sys, neighbors, aux, key), None
+
+    if remat:
+        body = _jax.checkpoint(body)
+    (sys, neighbors, aux, key), _ = jax.lax.scan(
+        body, (sys, neighbors, aux, key), jnp.arange(n_steps))
+    return sys

@@ -169,3 +169,54 @@ def autocorrelation(series, n_lags=None):
     for lag in range(n_lags):
         out.append(jnp.sum(flat[: t - lag] * flat[lag:]) / denom)
     return jnp.stack(out)
+
+
+@dataclasses.dataclass
+class DisplacementsLogger:
+    """Track displacements from a reference frame for MSD bookkeeping
+    (loggers.jl:550). Records per-atom displacement vectors; pair with
+    utils.analysis.msd."""
+
+    interval: int = 1
+    needs_virial_interval: int = 0
+    reference: object = None
+
+    def observe(self, sys, neighbors, aux, step_n):
+        if self.reference is None:
+            self.reference = sys.coords
+        return sys.boundary.displacement(self.reference, sys.coords)
+
+
+@dataclasses.dataclass
+class ReplicaExchangeLogger:
+    """Collects REMD exchange statistics (loggers.jl:1181). The REMD driver
+    returns these in its info dict; this logger exists for API parity and
+    accumulates externally-fed events."""
+
+    n_replicas: int = 0
+    n_exchanges: int = 0
+    n_attempts: int = 0
+
+    def record(self, accepted, attempted):
+        self.n_exchanges += int(accepted)
+        self.n_attempts += int(attempted)
+
+    @property
+    def exchange_rate(self):
+        return self.n_exchanges / max(self.n_attempts, 1)
+
+
+@dataclasses.dataclass
+class MonteCarloLogger:
+    """Accumulates MC acceptance statistics (loggers.jl:1232)."""
+
+    n_trials: int = 0
+    n_accepted: int = 0
+
+    def record(self, accepted, trials=1):
+        self.n_trials += int(trials)
+        self.n_accepted += int(accepted)
+
+    @property
+    def acceptance_rate(self):
+        return self.n_accepted / max(self.n_trials, 1)

@@ -15,6 +15,7 @@ not replicated. The reference's own all_pme (approximate erfc) tolerance is
 
 import os
 
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -177,3 +178,30 @@ def test_a99sb_disp_forces_vs_openmm():
                         for line in open(f"{DATA}/a99SB-disp_refs/{name}.dat")])
         diff = np.linalg.norm(np.asarray(f) - ref, axis=1)
         assert diff.mean() < 0.15, (name, diff.mean())
+
+
+def test_gromacs_gro_top_peptide():
+    """5XER peptide from Gromacs files (reference: test/protein.jl:1-60):
+    atom/molecule/box bookkeeping and a short stable simulation."""
+    from mollytpu.models.gromacs import system_from_gromacs
+    sys = system_from_gromacs(f"{DATA}/5XER/gmx_coords.gro",
+                              f"{DATA}/5XER/gmx_top_ff.top",
+                              nonbonded_method="cutoff", dtype=jnp.float64)
+    assert sys.n_atoms == 5191
+    assert sys.n_molecules == 1678
+    assert int(np.bincount(np.asarray(sys.molecule_ids))[0]) == 164
+    assert np.allclose(np.asarray(sys.boundary.side_lengths), 3.7146)
+    assert len(sys.pairwise_inters) == 2
+    nbs = mt.find_neighbors(sys.neighbor_finder, sys.coords, sys.boundary,
+                            sys.exclusions)
+    assert int(nbs.overflow) == 0
+    # density (protein.jl:42: ~1016 kg/m^3 = 611.7 u/nm^3)
+    dens = float(jnp.sum(sys.masses) / sys.boundary.volume())
+    assert 580 < dens < 640
+    sim = mt.VelocityVerlet(dt=0.0002,
+                            coupling=(mt.AndersenThermostat(298.0, 10.0),))
+    vels = mt.random_velocities(jax.random.PRNGKey(70), sys.masses, 298.0,
+                                dtype=jnp.float64) * 0.01
+    sys = sys.update(velocities=vels)
+    final, _ = mt.simulate(sys, sim, 20, key=jax.random.PRNGKey(71))
+    assert np.all(np.isfinite(np.asarray(final.coords)))

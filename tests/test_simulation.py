@@ -296,3 +296,56 @@ def test_pallas_block_kernel_matches_dense():
     _, v_d = mt.forces_virial(sys_d, needs_virial=True)
     _, v_p = mt.forces_virial(sys_p, bp, needs_virial=True)
     assert np.allclose(np.asarray(v_d), np.asarray(v_p), atol=2e-3)
+
+
+def test_custom_interaction_extensibility():
+    """A user-defined pairwise interaction (SIR-like contact process stand-in:
+    a custom soft repulsion) plugs into the engine — the reference
+    demonstrates extensibility with an agent-based SIR model (test/agent.jl).
+    """
+    import dataclasses as dc
+
+    @dc.dataclass(frozen=True)
+    class SoftContact:
+        k: float = 10.0
+        r0: float = 0.5
+        use_neighbors: bool = dc.field(default=False, metadata={"static": True})
+
+        def energy(self, r, ai, aj, special):
+            x = jnp.maximum(self.r0 - r, 0.0)
+            return 0.5 * self.k * x * x
+
+    jax.tree_util.register_dataclass(SoftContact, data_fields=["k", "r0"],
+                                     meta_fields=["use_neighbors"])
+    key = jax.random.PRNGKey(90)
+    boundary = mt.cubic(2.0, dtype=jnp.float64)
+    coords = mt.place_atoms(key, boundary, 10, min_dist=0.2, dtype=jnp.float64)
+    atoms = mt.make_atoms(n=10, mass=1.0, sigma=0.1, epsilon=0.0, dtype=jnp.float64)
+    sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                    pairwise_inters=(SoftContact(),))
+    e = float(mt.potential_energy(sys))
+    assert np.isfinite(e) and e > 0
+    final, _ = mt.simulate(sys, mt.OverdampedLangevin(
+        dt=0.01, temperature=1.0, friction=10.0), 50, key=jax.random.PRNGKey(91))
+    assert np.all(np.isfinite(np.asarray(final.coords)))
+
+
+def test_custom_bonded_term_registration():
+    """register_term extends the bonded engine (reference: custom
+    SpecificInteraction types)."""
+    from mollytpu.ops.bonded import register_term, SpecificList, specific_energy
+
+    def flat_well(c, boundary, p):
+        r = jnp.linalg.norm(boundary.displacement(c[0], c[1]))
+        return p["depth"] * jnp.tanh((r - p["r0"]) ** 2)
+
+    register_term("flat_well", flat_well)
+    sl = SpecificList(kind="flat_well",
+                      atom_idx=jnp.asarray([[0, 1]], dtype=jnp.int32),
+                      params={"depth": jnp.asarray([2.0]),
+                              "r0": jnp.asarray([0.3]),
+                              "weight": jnp.asarray([1.0])})
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]], dtype=jnp.float64)
+    b = mt.rectangular([10.0, 10.0, 10.0], dtype=jnp.float64)
+    e = float(specific_energy(sl, coords, b))
+    assert e == pytest.approx(2.0 * np.tanh(0.04), rel=1e-6)
