@@ -203,51 +203,55 @@ def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
 
 def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
             # scalar prefetch
-            nbr_ref, nbr_valid_ref,
+            flat_i_ref, row_start_ref, n_items_ref,
             # inputs
-            box_ref,
-            ax_ref, ay_ref, az_ref, asig_ref, aeps_ref, aq_ref, aid_ref,
-            aexcl_ref, aspec_ref,
-            bx_ref, by_ref, bz_ref, bsig_ref, beps_ref, bq_ref, bid_ref,
+            box_ref, a_ref, aexcl_ref, aspec_ref, jc_ref, js_ref,
             # outputs
-            fx_ref, fy_ref, fz_ref, eng_ref, vir_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    dtype = ax_ref.dtype
+            f_ref, eng_ref, vir_ref):
+    p = pl.program_id(0)
+    i = flat_i_ref[p]
+    dtype = a_ref.dtype
 
-    @pl.when(j == 0)
+    # first work item of this i-block initializes its force accumulator
+    # (padding items carry flat_i = 0 but p >= n_items > row_start[0] = 0)
+    @pl.when(p == row_start_ref[i])
     def _():
-        fx_ref[...] = jnp.zeros_like(fx_ref)
-        fy_ref[...] = jnp.zeros_like(fy_ref)
-        fz_ref[...] = jnp.zeros_like(fz_ref)
+        f_ref[...] = jnp.zeros_like(f_ref)
 
     if compute_energy:
-        @pl.when((i == 0) & (j == 0))
+        @pl.when(p == 0)
         def _():
-            eng_ref[...] = jnp.zeros_like(eng_ref)
-            vir_ref[...] = jnp.zeros_like(vir_ref)
+            # SMEM accepts only scalar stores on TPU
+            for t in range(8):
+                eng_ref[0, t] = jnp.asarray(0.0, dtype)
+                vir_ref[0, t] = jnp.asarray(0.0, dtype)
 
-    valid_tile = nbr_valid_ref[i, j] > 0
-
-    @pl.when(valid_tile)
+    @pl.when(p < n_items_ref[0])
     def _():
-        ax = ax_ref[0, 0, :]
-        bx = bx_ref[0, 0, :]
+        # work-layout gathered j-atoms: coords (4, LANES) packed per step,
+        # statics (4, LANES) packed at rebuild; list padding gathered a
+        # sentinel column whose id >= n_atoms
+        jc = jc_ref[...]
+        js = js_ref[...]
+        bx, by, bz = jc[0], jc[1], jc[2]
+        bsig, beps, bq, b_id = js[0], js[1], js[2], js[3]
+        a_all = a_ref[0]  # (8, BLOCK)
+
+        ax = a_all[0]
         dx = bx[None, :] - ax[:, None]
-        dy = by_ref[0, 0, :][None, :] - ay_ref[0, 0, :][:, None]
-        dz = bz_ref[0, 0, :][None, :] - az_ref[0, 0, :][:, None]
+        dy = by[None, :] - a_all[1][:, None]
+        dz = bz[None, :] - a_all[2][:, None]
         bx0, bx1, bx2 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
-        dx = dx - jnp.round(dx / bx0) * bx0
-        dy = dy - jnp.round(dy / bx1) * bx1
-        dz = dz - jnp.round(dz / bx2) * bx2
+        ib0, ib1, ib2 = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+        dx = dx - jnp.round(dx * ib0) * bx0
+        dy = dy - jnp.round(dy * ib1) * bx1
+        dz = dz - jnp.round(dz * ib2) * bx2
         r2 = dx * dx + dy * dy + dz * dz
 
-        a_id = aid_ref[0, 0, :]
-        b_id = bid_ref[0, 0, :]
+        a_id = a_all[6]
         live = ((a_id[:, None] < n_atoms) & (b_id[None, :] < n_atoms)
                 & (a_id[:, None] != b_id[None, :])
                 & (r2 < spec.cut_max * spec.cut_max))
-        # exclusions / specials: compare b ids against A-row tables
         excl = jnp.zeros_like(live)
         for w in range(w_excl):
             excl = excl | (b_id[None, :] == aexcl_ref[0, :, w][:, None])
@@ -257,18 +261,20 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
         live = live & ~excl
 
         r2s = jnp.where(live, r2, 1.0)
-        r = jnp.sqrt(r2s)
-        inv_r = 1.0 / r
-        sig = 0.5 * (asig_ref[0, 0, :][:, None] + bsig_ref[0, 0, :][None, :])
-        eps = jnp.sqrt(aeps_ref[0, 0, :][:, None] * beps_ref[0, 0, :][None, :])
-        qq = aq_ref[0, 0, :][:, None] * bq_ref[0, 0, :][None, :]
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        sig = 0.5 * (a_all[3][:, None] + bsig[None, :])
+        eps = a_all[4][:, None] * beps[None, :]  # sqrt pre-applied
+        qq = a_all[5][:, None] * bq[None, :]
 
         e, coef = _pair_terms(spec, r2s, inv_r, r, sig, eps, qq, special, dtype)
         coef = jnp.where(live, coef, 0.0)
 
-        fx_ref[...] += jnp.sum(coef * dx, axis=1)[None, None, :]
-        fy_ref[...] += jnp.sum(coef * dy, axis=1)[None, None, :]
-        fz_ref[...] += jnp.sum(coef * dz, axis=1)[None, None, :]
+        f_ref[...] += jnp.concatenate([
+            jnp.sum(coef * dx, axis=1)[None, :],
+            jnp.sum(coef * dy, axis=1)[None, :],
+            jnp.sum(coef * dz, axis=1)[None, :],
+            jnp.zeros((1, coef.shape[0]), dtype)])[None]
         if compute_energy:
             e = jnp.where(live, e, 0.0)
             eng_ref[0, 0] += 0.5 * jnp.sum(e)
@@ -283,7 +289,14 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
 def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                            blockpairs, finder, compute_energy=False,
                            interpret=None):
-    """Run the fused kernel. Returns (forces (N, 3), energy, virial (3, 3))."""
+    """Run the fused kernel. Returns (forces (N, 3), energy, virial (3, 3)).
+
+    Tile shape: (BLOCK=32 i-atoms) x (LANES=128 gathered j-atoms). The j-side
+    is an XLA gather over the finder's per-block atom lists, so tiles carry
+    ~10% real pairs instead of the ~3% of block-granular lists.
+    """
+    from .blockpairs import LANES
+
     n = coords.shape[0]
     dtype = coords.dtype
     if interpret is None:
@@ -291,79 +304,93 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
     order = blockpairs.order
     n_pad = order.shape[0]
     b = n_pad // BLOCK
-    m = finder.max_nbr_blocks
+    p_max = blockpairs.flat_i.shape[0]
     safe = jnp.minimum(order, n - 1)
     is_real = order < n
 
-    def pack(arr, fill=0.0):
-        # (B, 1, BLOCK): TPU block shapes need the -2 dim == full dim or a
-        # multiple of 8; a singleton middle axis satisfies it exactly.
-        out = jnp.where(is_real, arr[safe], fill)
-        return out.reshape(b, 1, BLOCK).astype(dtype)
-
+    # Layout discipline (measured on v5e): gathers ONLY in the batched
+    # `mat[:, idx]` form, no basic-slice+gather compounds (20-600x slower),
+    # no transposes on the hot path — kernel inputs/outputs are 2-D
+    # field-rows x atoms matrices sliced by BlockSpec column windows.
     wrapped = boundary.wrap(coords)
-    px = pack(wrapped[:, 0])
-    py = pack(wrapped[:, 1])
-    pz = pack(wrapped[:, 2])
-    psig = pack(atoms.sigma)
-    peps = pack(atoms.epsilon)
-    pq = pack(atoms.charge)
-    pid = jnp.where(is_real, order, n).reshape(b, 1, BLOCK).astype(jnp.int32)
+    ids_sorted = jnp.where(is_real, order, n).astype(dtype)
+    raw6 = jnp.concatenate([
+        wrapped.T,
+        atoms.sigma[None, :],
+        jnp.sqrt(atoms.epsilon)[None, :],  # geometric mixing via product
+        atoms.charge[None, :],
+    ]).astype(dtype)                                        # (6, N)
+    sorted6 = jnp.where(is_real[None, :], raw6[:, safe], 0.0)
+    a8 = jnp.concatenate([
+        sorted6, ids_sorted[None, :], jnp.zeros((1, n_pad), dtype)])
+    packed_a = a8.reshape(8, b, BLOCK).transpose(1, 0, 2)   # (B, 8, BLOCK)
+    # per-step j coordinate tiles in work layout (grid step p reads column
+    # window p — sequential HBM); statics come pre-packed from the rebuild
+    # when the finder carries an atom_static snapshot
+    zc = jnp.zeros((1, n_pad), dtype)
+    fc4 = jnp.concatenate([sorted6[:3], zc])                # (4, n_pad)
+    fc4 = jnp.concatenate([fc4, jnp.zeros((4, 1), dtype)], axis=1)
+    j_coords = fc4[:, blockpairs.work_idx]                  # (4, P*LANES)
+    j_static = blockpairs.j_static
+    if j_static is None:
+        fs4 = jnp.concatenate([sorted6[3:6], ids_sorted[None, :]])
+        fs4 = jnp.concatenate(
+            [fs4, jnp.asarray([0.0, 0.0, 0.0, n], dtype)[:, None]], axis=1)
+        j_static = fs4[:, blockpairs.work_idx]
+    j_static = j_static.astype(dtype)
     w_excl = int(exclusions.excl_table.shape[1])
     w_spec = int(exclusions.spec_table.shape[1])
     pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe], n)
-    pexcl = pexcl.reshape(b, BLOCK, w_excl).astype(jnp.int32)
+    pexcl = pexcl.reshape(b, BLOCK, w_excl).astype(dtype)
     pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe], n)
-    pspec = pspec.reshape(b, BLOCK, w_spec).astype(jnp.int32)
+    pspec = pspec.reshape(b, BLOCK, w_spec).astype(dtype)
     sides = jnp.asarray(boundary.side_lengths, dtype)
-    # non-periodic axes (inf) -> huge finite box so round(dx/box) == 0
-    box = jnp.where(jnp.isfinite(sides), sides, 1e30).reshape(1, 3)
+    # non-periodic axes (inf) -> huge finite box so round(dx/box) == 0;
+    # reciprocals precomputed to avoid per-pair divides
+    finite = jnp.where(jnp.isfinite(sides), sides, 1e30)
+    box = jnp.concatenate([finite, 1.0 / finite]).reshape(1, 6)
 
-    a_spec = pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (i, 0, 0))
-    b_spec = pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (nbr[i, j], 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, m),
+        num_scalar_prefetch=3,
+        grid=(p_max,),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i, j, nbr, val: (0, 0),
+            pl.BlockSpec((1, 6), lambda p, fi, rs, ni: (0, 0),
                          memory_space=pltpu.SMEM),
-            a_spec, a_spec, a_spec, a_spec, a_spec, a_spec, a_spec,
-            pl.BlockSpec((1, BLOCK, w_excl), lambda i, j, nbr, val: (i, 0, 0)),
-            pl.BlockSpec((1, BLOCK, w_spec), lambda i, j, nbr, val: (i, 0, 0)),
-            b_spec, b_spec, b_spec, b_spec, b_spec, b_spec, b_spec,
+            pl.BlockSpec((1, 8, BLOCK),
+                         lambda p, fi, rs, ni: (fi[p], 0, 0)),
+            pl.BlockSpec((1, BLOCK, w_excl),
+                         lambda p, fi, rs, ni: (fi[p], 0, 0)),
+            pl.BlockSpec((1, BLOCK, w_spec),
+                         lambda p, fi, rs, ni: (fi[p], 0, 0)),
+            pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
+            pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (i, 0, 0)),
-            pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (i, 0, 0)),
-            pl.BlockSpec((1, 1, BLOCK), lambda i, j, nbr, val: (i, 0, 0)),
-            pl.BlockSpec((1, 8), lambda i, j, nbr, val: (0, 0),
+            pl.BlockSpec((1, 4, BLOCK), lambda p, fi, rs, ni: (fi[p], 0, 0)),
+            pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda i, j, nbr, val: (0, 0),
+            pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
     )
-    kernel = partial(_kernel, spec, n, w_excl, w_spec, compute_energy)
-    fx, fy, fz, eng, vir6 = pl.pallas_call(
+    kernel = partial(_kernel, spec, float(n), w_excl, w_spec, compute_energy)
+    f4, eng, vir6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, BLOCK), dtype),
-            jax.ShapeDtypeStruct((b, 1, BLOCK), dtype),
-            jax.ShapeDtypeStruct((b, 1, BLOCK), dtype),
+            jax.ShapeDtypeStruct((b, 4, BLOCK), dtype),
             jax.ShapeDtypeStruct((1, 8), dtype),
             jax.ShapeDtypeStruct((1, 8), dtype),
         ],
         interpret=interpret,
-    )(blockpairs.nbr, blockpairs.nbr_valid, box,
-      px, py, pz, psig, peps, pq, pid, pexcl, pspec,
-      px, py, pz, psig, peps, pq, pid)
+    )(blockpairs.flat_i, blockpairs.row_start, blockpairs.n_items,
+      box, packed_a, pexcl, pspec, j_coords, j_static)
 
-    # unsort forces to the original atom order
-    flat_id = jnp.where(is_real, order, n)
-    forces = jnp.zeros((n, 3), dtype=dtype)
-    upd = jnp.stack([fx.reshape(-1), fy.reshape(-1), fz.reshape(-1)], axis=-1)
-    forces = forces.at[jnp.minimum(flat_id, n - 1)].add(
-        jnp.where(is_real[:, None], upd, 0.0))
+    # unsort forces to the original atom order by inverse-permutation GATHER
+    # (a scatter here costs ~0.4us per element on TPU)
+    f4u = (f4.transpose(1, 0, 2).reshape(4, n_pad)
+           [:, blockpairs.inv_order[:n]])                   # (4, N)
+    forces = f4u.T[:, :3]
     energy = eng[0, 0]
     vir = jnp.asarray([[vir6[0, 0], vir6[0, 1], vir6[0, 2]],
                        [vir6[0, 1], vir6[0, 3], vir6[0, 4]],
