@@ -36,10 +36,10 @@ def build(n_side=27, dtype=jnp.float32):
     vels = mt.random_velocities(jax.random.PRNGKey(1), atoms.mass, 120.0,
                                 dtype=dtype)
     from mollytpu.ops.blockpairs import BlockPairFinder
-    # 0.1 nm skin on the block list so the rebuild (≈6 ms) amortizes over
-    # 10 steps; the kernel still cuts pairs at the interaction cutoff
-    finder = BlockPairFinder.setup(boundary, 1.1, n_atoms, n_steps=10,
-                                   coords=coords)
+    # 0.15 nm skin on the cluster lists so the rebuild amortizes over
+    # 20 steps; the kernel still cuts pairs at the interaction cutoff
+    finder = BlockPairFinder.setup(boundary, 1.15, n_atoms, n_steps=20,
+                                   coords=coords, atoms=atoms)
     lj = mt.LennardJones(cutoff=mt.ShiftedForceCutoff(1.0), use_neighbors=True)
     sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
                     velocities=vels, pairwise_inters=(lj,),

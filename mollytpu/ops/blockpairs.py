@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BLOCK = 32        # atoms per i-cluster (sorted-order granularity)
-LANES = 128       # j-lane width of one kernel grid step
+BLOCK = 64        # atoms per i-cluster (sorted-order granularity)
+LANES = 256       # j-chunk width of one kernel grid step (2 vreg rows)
 
 
 def _register(cls, data_fields, meta_fields=()):
@@ -53,18 +53,19 @@ class BlockPairs:
     flat_i: jax.Array       # (P,) int32 i-block of each work item
     row_start: jax.Array    # (B,) int32 first work item of each i-block
     n_items: jax.Array      # (1,) int32 live work items (rest are padding)
+    n_pairs: jax.Array      # (1,) int32 true interacting block-pair count
     work_idx: jax.Array     # (P * LANES,) int32 sorted-space j positions per
                             # item; padding = N_pad (a sentinel with id >= N)
     j_static: jax.Array     # (4, P * LANES) sigma/sqrt(eps)/charge/id packed
                             # at rebuild, or None when the finder has no
-                            # atom_static (caller gathers per step)
+                            # atom_static snapshot (caller gathers per step)
     overflow: jax.Array     # () int32
     step_built: jax.Array   # () int32
 
 
 _register(BlockPairs,
           ["order", "inv_order", "jcount", "flat_i", "row_start", "n_items",
-           "work_idx", "j_static", "overflow", "step_built"])
+           "n_pairs", "work_idx", "j_static", "overflow", "step_built"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,7 +83,7 @@ class BlockPairFinder:
     atom_static: jax.Array = None
     grid_dims: tuple = dataclasses.field(default=None, metadata={"static": True})
     n_pad: int = dataclasses.field(default=0, metadata={"static": True})
-    max_nbr_blocks: int = dataclasses.field(default=32, metadata={"static": True})
+    max_pairs: int = dataclasses.field(default=1024, metadata={"static": True})
     max_jlist: int = dataclasses.field(default=LANES, metadata={"static": True})
     max_work_items: int = dataclasses.field(default=0, metadata={"static": True})
     n_steps: int = dataclasses.field(default=1, metadata={"static": True})
@@ -108,11 +109,13 @@ class BlockPairFinder:
         vol = float(np.prod(sides))
         dens = n_atoms / vol
         a_blk = (BLOCK / dens) ** (1.0 / 3.0)  # i-cluster cube side estimate
+        n_blocks = n_pad // BLOCK
         if max_nbr_blocks is None:
             reach = 2.0 * dist_cutoff + 2.0 * a_blk
             est = reach ** 3 * dens / BLOCK
-            max_nbr_blocks = int(min(n_pad // BLOCK,
-                                     max(8, math.ceil(est * 1.5 + 8))))
+            max_nbr_blocks = int(min(n_blocks, max(8, math.ceil(est * 1.5 + 8))))
+        max_pairs = min(n_blocks * n_blocks, n_blocks * max_nbr_blocks)
+        max_pairs = max(4, ((max_pairs + 3) // 4) * 4)
         if max_jlist is None:
             est_j = (a_blk + 2.0 * dist_cutoff) ** 3 * dens
             max_jlist = int(min(n_pad, math.ceil(est_j * 1.4) + LANES))
@@ -123,23 +126,25 @@ class BlockPairFinder:
                                      atoms.charge])
         finder = cls(dist_cutoff=float(dist_cutoff), atom_static=atom_static,
                      grid_dims=dims, n_pad=n_pad,
-                     max_nbr_blocks=max_nbr_blocks, max_jlist=max_jlist,
+                     max_pairs=max_pairs, max_jlist=max_jlist,
                      n_steps=n_steps)
         if coords is not None:
             trial = finder.find(coords, boundary)
-            row_over = int(jax.device_get(trial.overflow)) >> 20
-            if row_over > 0:
-                # block rows truncated -> jcount is an underestimate; retry
-                # with enough row capacity before sizing the atom lists
-                sized_m = min(n_pad // BLOCK, finder.max_nbr_blocks + row_over
-                              + margin_blocks)
-                finder = dataclasses.replace(finder, max_nbr_blocks=sized_m)
+            pair_over = int(jax.device_get(trial.overflow)) >> 20
+            if pair_over > 0:
+                # pair list truncated -> jcount is an underestimate; retry
+                # with enough pair capacity before sizing the atom lists
+                finder = dataclasses.replace(
+                    finder, max_pairs=min(
+                        n_blocks * n_blocks,
+                        finder.max_pairs + pair_over
+                        + margin_blocks * n_blocks))
                 trial = finder.find(coords, boundary)
+            true_pairs = int(jax.device_get(trial.n_pairs[0]))
+            sized_p = int(true_pairs * 1.08) + n_blocks
             finder = dataclasses.replace(
-                finder,
-                max_nbr_blocks=min(
-                    n_pad // BLOCK,
-                    finder.max_nbr_blocks + margin_blocks))
+                finder, max_pairs=max(4, ((min(n_blocks * n_blocks, sized_p)
+                                           + 3) // 4) * 4))
             max_cnt = int(jax.device_get(jnp.max(trial.jcount)))
             sized_k = min(n_pad, ((int(max_cnt * 1.1) + BLOCK + LANES - 1)
                                   // LANES) * LANES)
@@ -203,47 +208,67 @@ class BlockPairFinder:
             gap2 = gap2 + gap * gap
         interacting = gap2 < rc2  # (B, B) — includes self and both orderings
 
-        # compact candidate blocks to (B, M) by row sort (scatter-free)
-        m = self.max_nbr_blocks
-        cols = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :], (b, b))
-        bkeys = jnp.where(interacting, cols, b + 1)
-        sk, sv = jax.lax.sort_key_val(bkeys, cols, dimension=1)
-        nbr = jnp.where(sk[:, :m] <= b, sv[:, :m], -1)
-        counts_blk = jnp.sum(interacting, axis=1)
-        row_overflow = jnp.maximum(jnp.max(counts_blk) - m, 0).astype(jnp.int32)
+        # compact interacting block pairs to a FLAT list (block-major order):
+        # padding the per-row candidate lists to the max row length would
+        # make every downstream stage ~3x wider than the real population
+        t_max = self.max_pairs
+        iota2 = jnp.arange(b * b, dtype=jnp.int32)
+        pkeys = jnp.where(interacting.reshape(-1), iota2, jnp.int32(b * b + 1))
+        if t_max > b * b:  # tiny systems: capacity rounding may exceed B^2
+            pad = jnp.full((t_max - b * b,), b * b + 1, jnp.int32)
+            pkeys = jnp.concatenate([pkeys, pad])
+            iota2 = jnp.concatenate([iota2, jnp.zeros_like(pad)])
+        sk, sv = jax.lax.sort_key_val(pkeys, iota2)
+        pair_ok = sk[:t_max] <= b * b
+        pair_i = jnp.where(pair_ok, sv[:t_max] // b, b - 1)
+        pair_j = jnp.where(pair_ok, sv[:t_max] % b, 0)
+        total_pairs = jnp.sum(interacting).astype(jnp.int32)
+        pair_overflow = jnp.maximum(total_pairs - t_max, 0).astype(jnp.int32)
 
         # refine to per-ATOM candidates: every atom of every candidate block,
         # kept if within dist_cutoff of the i-AABB (batched-form gathers)
+        # (T/4, 128) compute layout: (T, 32) would waste 3/4 of every VPU
+        # lane row. Each 128-lane row holds 4 pairs; per-pair scalars repeat
+        # 32x within the row.
         lane = jnp.arange(BLOCK, dtype=jnp.int32)
-        nbr_ok = nbr >= 0
-        cand_pos = (jnp.where(nbr_ok, nbr, 0)[:, :, None] * BLOCK
-                    + lane[None, None, :]).reshape(b, m * BLOCK)
-        cxyz = s3[:, cand_pos]                       # (3, B, M*BLOCK)
-        d2 = jnp.zeros((b, m * BLOCK), dtype=coords.dtype)
+        cand = (pair_j[:, None] * BLOCK + lane[None, :])    # (T, BLOCK)
+        cand_flat = cand.reshape(-1)
+        t4 = t_max // 4
+        cxyz = s3[:, cand_flat].reshape(-1, t4, 4 * BLOCK)  # (3, T/4, 128)
+
+        def per_lane(v):  # (T,) -> (T/4, 128)
+            return jnp.repeat(v.reshape(t4, 4), BLOCK, axis=1)
+
+        d2 = jnp.zeros((t4, 4 * BLOCK), dtype=coords.dtype)
         for k in range(coords.shape[1]):
-            dc = cxyz[k] - centers[k][:, None]
+            dc = cxyz[k] - per_lane(centers[k][pair_i])
             box_k = sides[k]
             periodic = jnp.isfinite(box_k)
             safe_box = jnp.where(periodic, box_k, 1.0)
             dc = dc - jnp.where(periodic, jnp.round(dc / safe_box) * box_k, 0.0)
-            g = jnp.maximum(jnp.abs(dc) - exts[k][:, None], 0.0)
+            g = jnp.maximum(jnp.abs(dc) - per_lane(exts[k][pair_i]), 0.0)
             d2 = d2 + g * g
-        keep = (jnp.broadcast_to(nbr_ok[:, :, None], (b, m, BLOCK))
-                .reshape(b, m * BLOCK) & (d2 < rc2))
+        keep = (per_lane(pair_ok.astype(jnp.int32)) * (d2 < rc2)
+                ).reshape(-1) > 0                           # (T*BLOCK,)
 
-        # compact kept atoms to (B, K) jlists by row sort; padding = sentinel
-        # position n_pad (gathers a field column whose id >= n)
+        # one global compact sort: the pair list is block-major, so kept
+        # atoms land grouped by i-block in column order
+        t32 = t_max * BLOCK
+        fidx = jnp.arange(t32, dtype=jnp.int32)
+        akeys = jnp.where(keep, fidx, t32 + fidx)
+        sk, svals = jax.lax.sort_key_val(akeys, cand_flat)
+        svals = jnp.where(sk < t32, svals, n_pad)
+
+        # per-block kept counts without scatters: cumulative-sum differences
+        # at block boundaries located by searchsorted on the sorted pair list
+        kcum = jnp.cumsum(keep.astype(jnp.int32))
+        pstart = jnp.searchsorted(pair_i, jnp.arange(b + 1, dtype=jnp.int32),
+                                  method="scan_unrolled").astype(jnp.int32)
+        bnd = jnp.where(pstart > 0, kcum[jnp.maximum(pstart * BLOCK - 1, 0)],
+                        0)                                  # kept before block
+        jcount = (bnd[1:] - bnd[:-1]).astype(jnp.int32)
+        kstart = bnd[:-1]
         kk = self.max_jlist
-        colw = jnp.broadcast_to(
-            jnp.arange(m * BLOCK, dtype=jnp.int32)[None, :], (b, m * BLOCK))
-        akeys = jnp.where(keep, colw, jnp.int32(m * BLOCK + 1))
-        sk, sv = jax.lax.sort_key_val(akeys, cand_pos, dimension=1)
-        take = min(kk, m * BLOCK)
-        jlist = jnp.where(sk[:, :take] <= m * BLOCK, sv[:, :take], n_pad)
-        if take < kk:
-            jlist = jnp.concatenate(
-                [jlist, jnp.full((b, kk - take), n_pad, jnp.int32)], axis=1)
-        jcount = jnp.sum(keep, axis=1).astype(jnp.int32)
         j_overflow = jnp.maximum(jnp.max(jcount) - kk, 0).astype(jnp.int32)
 
         # flat (i-block, j-chunk) work items via one small sort
@@ -261,17 +286,22 @@ class BlockPairFinder:
                           jnp.int32(b * nchunk + 1)).reshape(-1)
         v_blk = jnp.broadcast_to(
             jnp.arange(b, dtype=jnp.int32)[:, None], (b, nchunk)).reshape(-1)
-        v_row = jnp.arange(b * nchunk, dtype=jnp.int32)
-        _, flat_i_full, src_rows_full = jax.lax.sort(
-            (wkeys, v_blk, v_row), num_keys=1)
+        _, flat_i_full, flat_c_full = jax.lax.sort(
+            (wkeys, v_blk, c_idx.reshape(-1)), num_keys=1)
         flat_i = flat_i_full[:p_max]
-        src_rows = src_rows_full[:p_max]
+        flat_c = flat_c_full[:p_max]
         work_overflow = jnp.maximum(total - p_max, 0).astype(jnp.int32)
 
-        # work-layout j position tiles: one contiguous (LANES,) row per item,
-        # flattened so per-step gathers stay in the fast batched form
-        work_idx = (jlist.reshape(b * nchunk, LANES)[src_rows]
-                    .reshape(p_max * LANES))
+        # work-layout j position tiles: item p covers kept atoms
+        # [kstart[i] + c*LANES, ...); tail lanes past jcount -> sentinel.
+        # svals is stacked to 2 rows so the gather takes the batched form.
+        lanes = jnp.arange(LANES, dtype=jnp.int32)
+        offs = flat_c[:, None] * LANES + lanes[None, :]     # (P, LANES)
+        src = jnp.minimum(kstart[flat_i][:, None] + offs, t32 - 1)
+        sv2 = jnp.stack([svals, svals])
+        gathered = sv2[:, src][0]
+        valid = offs < jcount[flat_i][:, None]
+        work_idx = jnp.where(valid, gathered, n_pad).reshape(p_max * LANES)
 
         # static j fields pack once per rebuild when available
         j_static = None
@@ -286,17 +316,18 @@ class BlockPairFinder:
             stat4 = jnp.concatenate([stat4, sentinel], axis=1)
             j_static = stat4[:, work_idx]                     # (4, P*LANES)
 
-        overflow = ((row_overflow << 20)
+        overflow = ((pair_overflow << 20)
                     | (jnp.minimum(j_overflow, 0x3FF) << 10)
                     | jnp.minimum(work_overflow, 0x3FF))
         return BlockPairs(order=order, inv_order=inv_order, jcount=jcount,
                           flat_i=flat_i, row_start=row_start,
                           n_items=jnp.minimum(total, p_max).reshape(1),
+                          n_pairs=total_pairs.reshape(1),
                           work_idx=work_idx, j_static=j_static,
                           overflow=overflow,
                           step_built=jnp.asarray(step_n, jnp.int32))
 
 
 _register(BlockPairFinder, ["dist_cutoff", "atom_static"],
-          ["grid_dims", "n_pad", "max_nbr_blocks", "max_jlist",
+          ["grid_dims", "n_pad", "max_pairs", "max_jlist",
            "max_work_items", "n_steps"])

@@ -229,8 +229,10 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
     @pl.when(p < n_items_ref[0])
     def _():
         # work-layout gathered j-atoms: coords (4, LANES) packed per step,
-        # statics (4, LANES) packed at rebuild; list padding gathered a
-        # sentinel column whose id >= n_atoms
+        # statics (4, LANES) packed at rebuild. Fake/padding atoms carry
+        # zero sigma/eps/charge so they contribute exactly zero without
+        # id-range compares (their ids also match the exclusion-table
+        # padding sentinel, which kills most of them outright).
         jc = jc_ref[...]
         js = js_ref[...]
         bx, by, bz = jc[0], jc[1], jc[2]
@@ -249,8 +251,7 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
         r2 = dx * dx + dy * dy + dz * dz
 
         a_id = a_all[6]
-        live = ((a_id[:, None] < n_atoms) & (b_id[None, :] < n_atoms)
-                & (a_id[:, None] != b_id[None, :])
+        live = ((a_id[:, None] != b_id[None, :])
                 & (r2 < spec.cut_max * spec.cut_max))
         excl = jnp.zeros_like(live)
         for w in range(w_excl):
@@ -314,26 +315,29 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
     # field-rows x atoms matrices sliced by BlockSpec column windows.
     wrapped = boundary.wrap(coords)
     ids_sorted = jnp.where(is_real, order, n).astype(dtype)
-    raw6 = jnp.concatenate([
-        wrapped.T,
+    # fake/padding atoms sit at 1e6 so distance culls them in the kernel
+    raw4c = jnp.concatenate(
+        [wrapped.T, jnp.zeros((1, n), dtype)]).astype(dtype)  # (4, N)
+    sorted4c = jnp.where(is_real[None, :], raw4c[:, safe], 1e6)
+    raw3s = jnp.concatenate([
         atoms.sigma[None, :],
         jnp.sqrt(atoms.epsilon)[None, :],  # geometric mixing via product
         atoms.charge[None, :],
-    ]).astype(dtype)                                        # (6, N)
-    sorted6 = jnp.where(is_real[None, :], raw6[:, safe], 0.0)
+    ]).astype(dtype)
+    sorted3s = jnp.where(is_real[None, :], raw3s[:, safe], 0.0)
     a8 = jnp.concatenate([
-        sorted6, ids_sorted[None, :], jnp.zeros((1, n_pad), dtype)])
+        sorted4c[:3], sorted3s, ids_sorted[None, :],
+        jnp.zeros((1, n_pad), dtype)])
     packed_a = a8.reshape(8, b, BLOCK).transpose(1, 0, 2)   # (B, 8, BLOCK)
     # per-step j coordinate tiles in work layout (grid step p reads column
-    # window p — sequential HBM); statics come pre-packed from the rebuild
-    # when the finder carries an atom_static snapshot
-    zc = jnp.zeros((1, n_pad), dtype)
-    fc4 = jnp.concatenate([sorted6[:3], zc])                # (4, n_pad)
-    fc4 = jnp.concatenate([fc4, jnp.zeros((4, 1), dtype)], axis=1)
+    # window p — sequential HBM); statics + image shifts come pre-packed
+    # from the rebuild when the finder carries an atom_static snapshot
+    fc4 = jnp.concatenate(
+        [sorted4c, jnp.full((4, 1), 1e6, dtype)], axis=1)
     j_coords = fc4[:, blockpairs.work_idx]                  # (4, P*LANES)
     j_static = blockpairs.j_static
     if j_static is None:
-        fs4 = jnp.concatenate([sorted6[3:6], ids_sorted[None, :]])
+        fs4 = jnp.concatenate([sorted3s, ids_sorted[None, :]])
         fs4 = jnp.concatenate(
             [fs4, jnp.asarray([0.0, 0.0, 0.0, n], dtype)[:, None]], axis=1)
         j_static = fs4[:, blockpairs.work_idx]
