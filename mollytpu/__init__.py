@@ -15,7 +15,7 @@ from .boundary import (
 from .spatial import (
     random_velocity, random_velocities, kinetic_energy, kinetic_energy_tensor,
     temperature, remove_cm_motion, pressure_tensor, scalar_pressure,
-    scale_coords, n_dof,
+    scale_coords, n_dof, unwrap_molecules,
 )
 from .system import System, Exclusions, molecule_ids_from_bonds
 from .forces import (
@@ -63,8 +63,11 @@ from .sim.minimize import SteepestDescentMinimizer
 from .sim.mc import (
     MetropolisMonteCarlo, random_uniform_translation, random_normal_translation,
 )
-from .sim.remd import ReplicaExchangeMD
+from .sim.remd import ReplicaExchangeMD, HamiltonianReplicaExchangeMD
+from .interop import ExternalCalculator, Calculator
+from .models.setup import add_position_restraints, crystal_system
 from .ops.constraints import SHAKERattle, angle_constraint
+from .ops.lincs import LINCS
 from .sim.simulate import simulate
 from .sim.simulate import simulate_differentiable
 from .free_energy.mbar import (

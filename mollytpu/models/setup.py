@@ -14,10 +14,12 @@ All of this is host-side numpy; only the final System holds device arrays.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import warnings
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import boundary as bnd
@@ -248,6 +250,7 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
                     approximate_pme=True, pme_error_tol=0.0005,
                     solvent_dielectric=78.3, dtype=jnp.float32,
                     velocities=None, constraints="none", rigid_water=False,
+                    constraint_algorithm="shake",
                     hydrogen_mass=None, center_coords=False,
                     neighbor_finder="cell", dispersion_correction=True,
                     implicit_solvent=None, implicit_solvent_kwargs=None):
@@ -610,7 +613,7 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         from ..ops.constraints import setup_constraints
         sys = setup_constraints(sys, struct, bonds, b_i, b_j, b_r0,
                                 a_i, a_j, a_k, a_t0, constraints, rigid_water,
-                                dtype=dtype)
+                                dtype=dtype, algorithm=constraint_algorithm)
 
     object.__setattr__(sys, "atom_data", AtomData(
         atom_name=np.asarray(struct.atom_names),
@@ -674,3 +677,78 @@ def make_dispersion_correction(sigma, epsilon, rc, dtype):
     f12 = 8.0 * math.pi * n * n * (es12 / (9.0 * rc ** 9))
     return LJDispersionCorrection(factor_6=float(f6), factor_12=float(f12),
                                   dist_cutoff=float(rc))
+
+
+def add_position_restraints(sys, k, atom_selector=None, dtype=jnp.float32):
+    """Harmonically restrain selected atoms to their current positions
+    (reference: add_position_restraints, setup.jl:2070-2111).
+
+    k: force constant (kJ/mol/nm^2), scalar or (N,). atom_selector: bool
+    mask / index array / predicate on atom index; None = all atoms.
+    """
+    import numpy as np
+    from ..ops.bonded import position_restraints
+
+    n = sys.n_atoms
+    if atom_selector is None:
+        idx = np.arange(n)
+    elif callable(atom_selector):
+        idx = np.asarray([i for i in range(n) if atom_selector(i)])
+    else:
+        sel = np.asarray(atom_selector)
+        idx = np.nonzero(sel)[0] if sel.dtype == bool else sel
+    if idx.size == 0:
+        return sys
+    k_arr = np.broadcast_to(np.asarray(jax.device_get(k), dtype=np.float64),
+                            (n,))[idx]
+    x0 = jnp.asarray(np.asarray(jax.device_get(sys.coords))[idx], dtype)
+    slist = position_restraints(jnp.asarray(idx, jnp.int32),
+                                jnp.asarray(k_arr, dtype), x0)
+    return dataclasses.replace(
+        sys, specific_lists=sys.specific_lists + (slist,))
+
+
+def crystal_system(lattice_constant, element_mass, n_cells, lattice="fcc",
+                   sigma=0.34, epsilon=0.994, charge=0.0, dtype=jnp.float32,
+                   pairwise_inters=None, **system_kwargs):
+    """Build a System from a replicated crystal unit cell (reference:
+    crystal constructor System(crystal; ...), src/types.jl:1044-1098 via
+    SimpleCrystals.jl). Supported lattices: 'sc', 'bcc', 'fcc'.
+
+    Returns a System with atoms on the perfect lattice; lattice_constant in
+    nm, n_cells an int or (nx, ny, nz).
+    """
+    import numpy as np
+    from .. import make_atoms
+    from ..boundary import rectangular
+    from ..system import System
+
+    basis = {
+        "sc": [(0.0, 0.0, 0.0)],
+        "bcc": [(0.0, 0.0, 0.0), (0.5, 0.5, 0.5)],
+        "fcc": [(0.0, 0.0, 0.0), (0.5, 0.5, 0.0), (0.5, 0.0, 0.5),
+                (0.0, 0.5, 0.5)],
+    }[lattice]
+    if isinstance(n_cells, int):
+        n_cells = (n_cells, n_cells, n_cells)
+    a = float(lattice_constant)
+    pts = []
+    for ix in range(n_cells[0]):
+        for iy in range(n_cells[1]):
+            for iz in range(n_cells[2]):
+                for (bx, by, bz) in basis:
+                    pts.append(((ix + bx) * a, (iy + by) * a, (iz + bz) * a))
+    coords = jnp.asarray(np.asarray(pts), dtype)
+    n = coords.shape[0]
+    boundary = rectangular((n_cells[0] * a, n_cells[1] * a, n_cells[2] * a),
+                           dtype=dtype)
+    atoms = make_atoms(n=n, mass=element_mass, sigma=sigma, epsilon=epsilon,
+                       charge=charge, dtype=dtype)
+    if pairwise_inters is None:
+        from ..ops.pairwise import LennardJones
+        from ..ops.cutoffs import ShiftedForceCutoff
+        pairwise_inters = (LennardJones(cutoff=ShiftedForceCutoff(
+            min(1.0, min(boundary.side_lengths_np()) / 2.001
+                if hasattr(boundary, "side_lengths_np") else 1.0))),)
+    return System(atoms=atoms, coords=coords, boundary=boundary,
+                  pairwise_inters=pairwise_inters, **system_kwargs)

@@ -144,18 +144,23 @@ def angle_constraint(i, j, k, dist_ij, dist_jk, angle):
 
 
 def setup_constraints(sys, struct, bonds, b_i, b_j, b_r0, a_i, a_j, a_k, a_t0,
-                      constraints="none", rigid_water=False, dtype=jnp.float32):
+                      constraints="none", rigid_water=False, dtype=jnp.float32,
+                      algorithm="shake"):
     """Generate constraints from the topology and remove the replaced bonded
     terms (reference: setup.jl:1547-1683 exchange_constraints + rigid water).
 
     constraints: "none" | "hbonds" (bonds to hydrogen) | "allbonds" |
     "hangles" (hbonds + angles with >= 2 hydrogens or central O).
+    algorithm: "shake" | "lincs" (reference SetupLINCS, lincs.jl). Closed
+    triangles (rigid water, hangle triples) always stay on SHAKE/RATTLE —
+    the LINCS series does not converge on constraint cycles.
     """
     import math as _math
 
     elements = [e.upper() for e in struct.elements]
     res_names = [struct.residues[r].name for r in struct.res_index_of_atom]
     pairs, dists = [], []
+    triangle_rows = set()
     drop_bond_rows = set()
     drop_angle_rows = set()
     water_atoms = set()
@@ -196,6 +201,8 @@ def setup_constraints(sys, struct, bonds, b_i, b_j, b_r0, a_i, a_j, a_k, a_t0,
                     continue
                 theta0 = float(a_t0[theta_row])
                 d_hh = _math.sqrt(r1 ** 2 + r2 ** 2 - 2 * r1 * r2 * _math.cos(theta0))
+                triangle_rows.update({len(pairs), len(pairs) + 1,
+                                      len(pairs) + 2})
                 pairs += [(o, h1), (o, h2), (h1, h2)]
                 dists += [r1, r2, d_hh]
                 drop_bond_rows.update({row1, row2})
@@ -228,6 +235,17 @@ def setup_constraints(sys, struct, bonds, b_i, b_j, b_r0, a_i, a_j, a_k, a_t0,
                     theta0 = float(a_t0[row])
                     d_ik = _math.sqrt(d_ij ** 2 + d_jk ** 2
                                       - 2 * d_ij * d_jk * _math.cos(theta0))
+                    # (i,j),(j,k) H-bonds are already constrained, so the
+                    # added (i,k) closes a triangle
+                    triangle_rows.add(len(pairs))
+                    kij = next((r for r, (pi, pj) in enumerate(pairs)
+                                if {pi, pj} == {i, j}), None)
+                    kjk = next((r for r, (pi, pj) in enumerate(pairs)
+                                if {pi, pj} == {j, k}), None)
+                    if kij is not None:
+                        triangle_rows.add(kij)
+                    if kjk is not None:
+                        triangle_rows.add(kjk)
                     pairs.append((i, k))
                     dists.append(d_ik)
                     drop_angle_rows.add(row)
@@ -249,13 +267,28 @@ def setup_constraints(sys, struct, bonds, b_i, b_j, b_r0, a_i, a_j, a_k, a_t0,
         else:
             new_lists.append(slist)
 
-    shake = SHAKERattle.build(pairs, jnp.asarray(dists, dtype))
+    constrainers = []
+    if algorithm == "lincs":
+        from .lincs import LINCS
+        tri = sorted(triangle_rows)
+        rest = [r for r in range(len(pairs)) if r not in triangle_rows]
+        if tri:
+            constrainers.append(SHAKERattle.build(
+                [pairs[r] for r in tri],
+                jnp.asarray([dists[r] for r in tri], dtype)))
+        if rest:
+            constrainers.append(LINCS.build(
+                [pairs[r] for r in rest], [dists[r] for r in rest],
+                sys.masses))
+    else:
+        constrainers.append(SHAKERattle.build(pairs, jnp.asarray(dists, dtype)))
+    n_constraints = len(pairs)
     from ..spatial import n_dof as calc_n_dof
     n_frozen = sys.virtual_sites.n_sites if sys.virtual_sites is not None else 0
-    new_dof = calc_n_dof(sys.n_atoms, shake.n_constraints, sys.n_dims, True,
+    new_dof = calc_n_dof(sys.n_atoms, n_constraints, sys.n_dims, True,
                          n_frozen)
     return dataclasses.replace(sys, specific_lists=tuple(new_lists),
-                               constraints=(shake,), n_dof=new_dof)
+                               constraints=tuple(constrainers), n_dof=new_dof)
 
 
 def _filter_rows(slist, keep_mask):

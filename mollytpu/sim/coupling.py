@@ -190,6 +190,11 @@ class MonteCarloBarostat:
     n_steps: int = dataclasses.field(default=30, metadata={"static": True})
     initial_scale_frac: float = 0.01
     scale_molecules: bool = dataclasses.field(default=True, metadata={"static": True})
+    # "isotropic": one scale for all axes; "anisotropic": each attempt picks
+    # a random axis and scales it alone; "semiisotropic": xy together or z
+    # (membrane setups) — reference coupling.jl:768-1054 coupling modes.
+    coupling: str = dataclasses.field(default="isotropic",
+                                      metadata={"static": True})
 
     invalidates_forces = True
     needs_virial_interval = 0
@@ -214,7 +219,17 @@ class MonteCarloBarostat:
             dv = jax.random.uniform(k1, (), dtype=sys.coords.dtype,
                                     minval=-1.0, maxval=1.0) * state["scale"]
             v_new = vol + dv
-            mu = (v_new / vol) ** (1.0 / 3.0)
+            s_vol = v_new / vol
+            if self.coupling == "isotropic":
+                mu = s_vol ** (1.0 / 3.0)
+            elif self.coupling == "anisotropic":
+                axis = jax.random.randint(k2, (), 0, 3)
+                mu = jnp.where(jnp.arange(3) == axis, s_vol, 1.0)
+            else:  # semiisotropic: scale xy jointly or z alone
+                pick_z = jax.random.bernoulli(k2)
+                mu_xy = jnp.asarray([jnp.sqrt(s_vol), jnp.sqrt(s_vol), 1.0])
+                mu_z = jnp.asarray([1.0, 1.0, s_vol])
+                mu = jnp.where(pick_z, mu_z, mu_xy)
             if self.scale_molecules:
                 new_boundary, new_coords = scale_coords_molecular(
                     sys.boundary, sys.coords, mu, sys.masses, sys.molecule_ids,
@@ -229,7 +244,8 @@ class MonteCarloBarostat:
             kt = KB * self.temperature
             w = (e_new - e_old + self.pressure * dv
                  - n_scaled * kt * jnp.log(v_new / vol))
-            accept = (jax.random.uniform(k2, (), dtype=sys.coords.dtype)
+            k3 = jax.random.fold_in(k2, 7)
+            accept = (jax.random.uniform(k3, (), dtype=sys.coords.dtype)
                       < jnp.exp(jnp.minimum(-w / kt, 0.0))) & (v_new > 0)
             coords = jnp.where(accept, new_coords, sys.coords)
             boundary = jax.tree.map(
@@ -261,7 +277,7 @@ class MonteCarloBarostat:
 
 _register(MonteCarloBarostat,
           ["pressure", "temperature", "initial_scale_frac"],
-          ["n_steps", "scale_molecules"])
+          ["n_steps", "scale_molecules", "coupling"])
 
 
 @dataclasses.dataclass(frozen=True)

@@ -122,3 +122,41 @@ def scale_coords_molecular(boundary, coords, mu, masses, molecule_ids, n_molecul
         new_centers = centers * mu
     shift = (new_centers - centers)[molecule_ids]
     return boundary.scale(mu), coords + shift
+
+
+def unwrap_molecules(coords, boundary, molecule_ids, bonds_i, bonds_j):
+    """Host-side BFS unwrap so molecules stay whole across the periodic
+    boundary (Molly: unwrap_molecules, src/spatial.jl:608-699). Used by
+    trajectory writers and visualization; returns numpy (N, 3).
+
+    bonds_i/bonds_j: bond endpoint index arrays (any bonded-term pair list).
+    """
+    import numpy as np
+
+    c = np.asarray(jax.device_get(coords), dtype=np.float64).copy()
+    sides = np.asarray(jax.device_get(boundary.side_lengths), dtype=np.float64)
+    n = c.shape[0]
+    adj = [[] for _ in range(n)]
+    for i, j in zip(np.asarray(bonds_i), np.asarray(bonds_j)):
+        adj[int(i)].append(int(j))
+        adj[int(j)].append(int(i))
+    seen = np.zeros(n, dtype=bool)
+    for start in range(n):
+        if seen[start]:
+            continue
+        seen[start] = True
+        stack = [start]
+        while stack:
+            a = stack.pop()
+            for b in adj[a]:
+                if seen[b]:
+                    continue
+                d = c[b] - c[a]
+                shift = np.where(np.isfinite(sides),
+                                 np.round(d / np.where(np.isfinite(sides),
+                                                       sides, 1.0)) * sides,
+                                 0.0)
+                c[b] = c[b] - shift
+                seen[b] = True
+                stack.append(b)
+    return c

