@@ -101,6 +101,7 @@ from .utils.analysis import (
     dipole_moment,
 )
 from .utils.trajectory import TrajectoryWriter, EnsembleSystem
+from .utils.visualize import visualize, render_frame
 from .utils.checkpoint import save_checkpoint, load_checkpoint
 from .ops.cmap import cmap_coefficients, make_cmap_list
 from .ops.gbsa import ImplicitSolventOBC, ImplicitSolventGBN2, make_implicit_solvent

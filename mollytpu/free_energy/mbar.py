@@ -135,7 +135,7 @@ def mbar_pmf(inp: MBARInput, cv_samples, bin_edges, temperature,
     edges = jnp.asarray(bin_edges)
     nbins = edges.shape[0] - 1
     which = jnp.clip(jnp.searchsorted(edges, cv_samples) - 1, 0, nbins - 1)
-    p = jax.ops.segment_sum(w, which, num_segments=nbins)
+    p = jnp.zeros((nbins,), w.dtype).at[which].add(w)
     kt = KB * temperature
     vals = -kt * jnp.log(jnp.maximum(p, 1e-300))
     vals = vals - jnp.min(vals)

@@ -583,7 +583,8 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
     if nonbonded_method in ("cutoff", "pme"):
         if neighbor_finder == "cell" and struct.box is not None:
             nf = CellListNeighborFinder.setup(boundary, float(dist_neighbors), n,
-                                              n_steps=neighbor_n_steps)
+                                              n_steps=neighbor_n_steps,
+                                              coords=coords)
         elif neighbor_finder is not None:
             nf = DistanceNeighborFinder(dist_cutoff=float(dist_neighbors),
                                         n_steps=neighbor_n_steps)
@@ -608,6 +609,11 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         general_inters=tuple(general), exclusions=exclusions,
         neighbor_finder=nf, molecule_ids=mol_ids, n_molecules=n_mol,
         virtual_sites=vsites)
+    if vsites is not None and vsites.n_sites:
+        # file coordinates of massless sites are approximate; place them
+        # exactly from their parents (reference: place_virtual_sites! during
+        # setup, src/virtual.jl:187)
+        sys = sys.update(coords=vsites.place(sys.coords, sys.boundary))
 
     if constraints != "none" or rigid_water:
         from ..ops.constraints import setup_constraints

@@ -288,7 +288,9 @@ def specific_forces(slist: SpecificList, coords, boundary, needs_virial=False):
     term_forces = -grads
     flat_idx = slist.atom_idx.reshape(-1)
     flat_f = term_forces.reshape(-1, coords.shape[-1])
-    forces = jax.ops.segment_sum(flat_f, flat_idx, num_segments=n)
+    # .at[].add — jax.ops.segment_sum lowers ~400x slower on TPU
+    forces = jnp.zeros((n, flat_f.shape[1]), flat_f.dtype).at[flat_idx].add(
+        flat_f)
     if needs_virial:
         ref = gathered[:, :1, :]
         rel = jax.vmap(jax.vmap(boundary.displacement, in_axes=(0, 0)),

@@ -77,9 +77,9 @@ class SHAKERattle:
             g = self.omega * diff / denom  # damped lambda per constraint
             corr_i = -(g * im_i)[:, None] * r_ref
             corr_j = (g * im_j)[:, None] * r_ref
-            upd = jax.ops.segment_sum(
-                jnp.concatenate([corr_i, corr_j]),
-                jnp.concatenate([ii, jj]), num_segments=n)
+            # .at[].add — jax.ops.segment_sum lowers ~400x slower on TPU
+            upd = jnp.zeros_like(coords).at[jnp.concatenate([ii, jj])].add(
+                jnp.concatenate([corr_i, corr_j]))
             return coords + upd
 
         constrained = jax.lax.fori_loop(0, self.n_iters, sweep, coords_new)
@@ -106,9 +106,8 @@ class SHAKERattle:
                 (im_i + im_j) * jnp.maximum(r2, 1e-12))
             corr_i = -(k * im_i)[:, None] * dr
             corr_j = (k * im_j)[:, None] * dr
-            upd = jax.ops.segment_sum(
-                jnp.concatenate([corr_i, corr_j]),
-                jnp.concatenate([ii, jj]), num_segments=n)
+            upd = jnp.zeros_like(v).at[jnp.concatenate([ii, jj])].add(
+                jnp.concatenate([corr_i, corr_j]))
             return v + upd
 
         return jax.lax.fori_loop(0, self.vel_iters, sweep, vels)

@@ -156,8 +156,13 @@ class CellListNeighborFinder:
 
     @classmethod
     def setup(cls, boundary, dist_cutoff, n_atoms, n_steps=10,
-              max_neighbors=None, cell_capacity=None, density_factor=3.0):
-        """Size the grid and capacities from the initial box and atom count."""
+              max_neighbors=None, cell_capacity=None, density_factor=3.0,
+              coords=None, exclusions=None):
+        """Size the grid and capacities from the initial box and atom count.
+
+        When `coords` is given, capacities come from a trial build on the
+        actual configuration (mean-density estimates fail badly on
+        nonuniform systems like a protein in a mostly-empty box)."""
         sides = np.asarray(jax.device_get(boundary.side_lengths), dtype=np.float64)
         dims = tuple(int(max(1, math.floor(s / dist_cutoff))) for s in sides)
         n_cells = int(np.prod(dims))
@@ -173,8 +178,25 @@ class CellListNeighborFinder:
             half_sphere = 0.5 * 4.0 / 3.0 * math.pi * dist_cutoff ** 3 * dens
             max_neighbors = int(max(16, math.ceil(
                 half_sphere + 6.0 * math.sqrt(half_sphere) + 8)))
-        return cls(dist_cutoff=dist_cutoff, grid_dims=dims, n_steps=n_steps,
-                   max_neighbors=max_neighbors, cell_capacity=cell_capacity)
+        finder = cls(dist_cutoff=dist_cutoff, grid_dims=dims, n_steps=n_steps,
+                     max_neighbors=max_neighbors, cell_capacity=cell_capacity)
+        if coords is not None:
+            if exclusions is None:
+                from ..system import Exclusions
+                exclusions = Exclusions.build(n_atoms)
+            for _ in range(4):  # grow until the trial build fits
+                trial = finder.find(coords, boundary, exclusions, 0)
+                over = int(jax.device_get(trial.overflow))
+                if over == 0:
+                    break
+                finder = dataclasses.replace(
+                    finder,
+                    max_neighbors=int((finder.max_neighbors + over) * 1.25),
+                    cell_capacity=int(finder.cell_capacity * 1.5))
+            # margin for density fluctuations during the run
+            finder = dataclasses.replace(
+                finder, max_neighbors=int(finder.max_neighbors * 1.15) + 8)
+        return finder
 
     def find(self, coords, boundary, exclusions, step_n=0):
         n = coords.shape[0]

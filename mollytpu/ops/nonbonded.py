@@ -21,6 +21,13 @@ import jax
 import jax.numpy as jnp
 
 
+
+def _scatter_add_rows(vals, idx, num_segments):
+    """Row scatter-add via .at[].add — jax.ops.segment_sum lowers ~400x
+    slower on TPU."""
+    return jnp.zeros((num_segments, vals.shape[1]), vals.dtype).at[idx].add(
+        vals)
+
 def _split_inters(inters):
     conservative = tuple(i for i in inters if not getattr(i, "uses_velocity", False))
     velocity_dep = tuple(i for i in inters if getattr(i, "uses_velocity", False))
@@ -217,7 +224,8 @@ def neighbor_forces(inters, atoms, coords, boundary, neighbors, velocities=None,
         for k in range(d):
             fk = coef * drs[k]  # contribution to row atom i along axis k
             col = jnp.sum(fk, axis=1)
-            col = col + jax.ops.segment_sum(-fk.reshape(-1), flat_j, num_segments=n)
+            col = col + jnp.zeros((n,), fk.dtype).at[flat_j].add(
+                -fk.reshape(-1))
             fcols.append(col)
         forces = forces + jnp.stack(fcols, axis=-1)
         if needs_virial:
@@ -242,7 +250,7 @@ def neighbor_forces(inters, atoms, coords, boundary, neighbors, velocities=None,
                                  velocities, aj, vj_all, safe_j, live,
                                  neighbors.special)  # (N, K, D): force on j
             forces = forces - jnp.sum(fv, axis=1)
-            forces = forces + jax.ops.segment_sum(
+            forces = forces + _scatter_add_rows(
                 fv.reshape(-1, d), safe_j.reshape(-1), num_segments=n)
             if needs_virial:
                 drv = jnp.stack(drs, axis=-1)

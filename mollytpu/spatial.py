@@ -105,8 +105,9 @@ def molecule_centers(coords, masses, molecule_ids, n_molecules, boundary=None):
     src/spatial.jl:1049-1166). Assumes coordinates are unwrapped per molecule
     (or molecules smaller than half the box)."""
     w = masses
-    wsum = jax.ops.segment_sum(w, molecule_ids, num_segments=n_molecules)
-    cw = jax.ops.segment_sum(w[:, None] * coords, molecule_ids, num_segments=n_molecules)
+    wsum = jnp.zeros((n_molecules,), w.dtype).at[molecule_ids].add(w)
+    cw = jnp.zeros((n_molecules, coords.shape[1]), coords.dtype).at[
+        molecule_ids].add(w[:, None] * coords)
     return cw / jnp.maximum(wsum, 1e-30)[:, None]
 
 

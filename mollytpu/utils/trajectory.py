@@ -28,7 +28,7 @@ class TrajectoryWriter:
         self.n_written = 0
         self._fh = None
         fmt = self.path.rsplit(".", 1)[-1].lower()
-        if fmt not in ("pdb", "xyz", "dcd"):
+        if fmt not in ("pdb", "xyz", "dcd", "trr", "mol2"):
             raise ValueError(f"unsupported trajectory format .{fmt}")
         self.fmt = fmt
 
@@ -39,6 +39,11 @@ class TrajectoryWriter:
             self._write_pdb(coords, box)
         elif self.fmt == "xyz":
             self._write_xyz(coords)
+        elif self.fmt == "trr":
+            self._write_trr(coords, box, np.asarray(sys.velocities)
+                            if sys.velocities is not None else None, step_n)
+        elif self.fmt == "mol2":
+            self._write_mol2(coords)
         else:
             self._write_dcd(coords, box)
         self.n_written += 1
@@ -79,6 +84,57 @@ class TrajectoryWriter:
 
     # -- DCD (CHARMM binary) ----------------------------------------------------
 
+    # -- TRR (GROMACS trajectory, big-endian XDR-style) ------------------------
+
+    def _write_trr(self, coords, box, vels, step_n):
+        """Uncompressed GROMACS .trr frame (format: GROMACS manual B.2;
+        reference writes TRR through Chemfiles, loggers.jl:784-930)."""
+        import struct
+
+        n = coords.shape[0]
+        x_size = n * 3 * 4
+        v_size = x_size if vels is not None else 0
+        box_size = 9 * 4
+        with open(self.path, "ab") as f:
+            f.write(struct.pack(">i", 1993))          # magic
+            f.write(struct.pack(">i", 13))            # version
+            tag = b"GMX_trn_file"
+            f.write(struct.pack(">i", len(tag) + 1))
+            f.write(struct.pack(">i", len(tag)))
+            f.write(tag)
+            # ir/e/box/vir/pres/top/sym/x/v/f sizes
+            for v in (0, 0, box_size, 0, 0, 0, 0, x_size, v_size, 0):
+                f.write(struct.pack(">i", v))
+            f.write(struct.pack(">i", n))
+            f.write(struct.pack(">i", int(step_n)))
+            f.write(struct.pack(">i", 0))             # nre
+            f.write(struct.pack(">f", 0.0))           # time
+            f.write(struct.pack(">f", 0.0))           # lambda
+            bm = np.zeros((3, 3), dtype=">f4")
+            bm[0, 0], bm[1, 1], bm[2, 2] = box[0], box[1], box[2]
+            f.write(bm.tobytes())
+            f.write(np.asarray(coords, dtype=">f4").tobytes())
+            if vels is not None:
+                f.write(np.asarray(vels, dtype=">f4").tobytes())
+
+    # -- mol2 ------------------------------------------------------------------
+
+    def _write_mol2(self, coords):
+        """SYBYL mol2 frame (appends one @<TRIPOS>MOLECULE block)."""
+        names = (self.atom_data.atom_name if self.atom_data is not None
+                 else [f"A{i+1}" for i in range(coords.shape[0])])
+        elems = [str(nm)[0] for nm in names]
+        with open(self.path, "a") as f:
+            f.write("@<TRIPOS>MOLECULE\n")
+            f.write(f"frame_{self.n_written}\n")
+            f.write(f"{coords.shape[0]} 0 0 0 0\n")
+            f.write("SMALL\nNO_CHARGES\n")
+            f.write("@<TRIPOS>ATOM\n")
+            for i, c in enumerate(coords):
+                f.write(f"{i+1:>7d} {str(names[i % len(names)]):<6s}"
+                        f"{c[0]*10:>10.4f}{c[1]*10:>10.4f}{c[2]*10:>10.4f}"
+                        f" {elems[i % len(elems)]}\n")
+
     def _dcd_header(self, n_atoms):
         h = struct.pack("<i4s9if10i", 84, b"CORD", 0, 0, self.interval, 0, 0,
                         0, 0, 0, 0, 0.0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 24)
@@ -101,6 +157,15 @@ class TrajectoryWriter:
             for axis in range(3):
                 data = (coords[:, axis] * 10.0).astype("<f4").tobytes()
                 f.write(struct.pack("<i", 4 * n) + data + struct.pack("<i", 4 * n))
+
+
+def _trr_pack(f, *vals):
+    import struct
+    for v in vals:
+        if isinstance(v, float):
+            f.write(struct.pack(">f", v))
+        else:
+            f.write(struct.pack(">i", v))
 
 
 def read_xyz_frames(path):
@@ -134,6 +199,33 @@ def read_pdb_frames(path):
             cur = []
     if cur:
         frames.append(np.asarray(cur))
+    return np.stack(frames)
+
+
+def read_trr_frames(path):
+    """Read frames written by the TRR writer. Returns (T, N, 3) coords."""
+    import struct
+
+    frames = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                break
+            magic, version = struct.unpack(">ii", head)
+            assert magic == 1993, "not a TRR file"
+            tlen, slen = struct.unpack(">ii", f.read(8))
+            f.read(slen)
+            sizes = struct.unpack(">10i", f.read(40))
+            (ir_s, e_s, box_s, vir_s, pres_s, top_s, sym_s,
+             x_s, v_s, f_s) = sizes
+            n, step, nre = struct.unpack(">iii", f.read(12))
+            f.read(8)  # time, lambda
+            f.read(box_s + vir_s + pres_s)
+            if x_s:
+                x = np.frombuffer(f.read(x_s), dtype=">f4").reshape(n, 3)
+                frames.append(np.asarray(x, np.float32))
+            f.read(v_s + f_s)
     return np.stack(frames)
 
 
@@ -173,7 +265,8 @@ class EnsembleSystem:
     def from_file(cls, sys, path):
         fmt = path.rsplit(".", 1)[-1].lower()
         reader = {"xyz": read_xyz_frames, "pdb": read_pdb_frames,
-                  "dcd": read_dcd_frames}[fmt]
+                  "dcd": read_dcd_frames,
+                  "trr": read_trr_frames}[fmt]
         return cls(sys=sys, frames=reader(path))
 
     def frame(self, t):

@@ -205,3 +205,65 @@ def test_gromacs_gro_top_peptide():
     sys = sys.update(velocities=vels)
     final, _ = mt.simulate(sys, sim, 20, key=jax.random.PRNGKey(71))
     assert np.all(np.isfinite(np.asarray(final.coords)))
+
+
+def test_tip4p_virtual_site_golden():
+    """TIP4P-FB water box vs OpenMM golden data: virtual-site placement,
+    force redistribution, exclusions through the massless site
+    (reference: test/simulation.jl:1306-1360, data/openmm_tip4pfb)."""
+    import numpy as np
+
+    ff = mt.ForceField(DATA + "/force_fields/tip4pfb.xml")
+    sys = mt.system_from_pdb(DATA + "/tip4pew.pdb", ff,
+                             nonbonded_method="cutoff", center_coords=False,
+                             dtype=jnp.float64)
+    from mollytpu.ops.neighbors import find_neighbors
+    nbs = find_neighbors(sys.neighbor_finder, sys.coords, sys.boundary,
+                         sys.exclusions, 0)
+    e = float(mt.potential_energy(sys, nbs))
+    gold = float(np.loadtxt(DATA + "/openmm_tip4pfb/energy_nocons.txt"))
+    assert abs(e - gold) < 2e-3
+
+    f = np.asarray(mt.forces(sys, nbs))
+    fg = np.loadtxt(DATA + "/openmm_tip4pfb/forces_nocons.txt")
+    fg[3::4] = 0.0  # distributed site forces are zero on the site itself
+    assert np.max(np.linalg.norm(f - fg, axis=1)) < 1e-4
+
+    # constrained variant: hbond constraints remove the OH bond terms
+    sys_c = mt.system_from_pdb(DATA + "/tip4pew.pdb", ff,
+                               nonbonded_method="cutoff", center_coords=False,
+                               constraints="hbonds", dtype=jnp.float64)
+    nbs_c = find_neighbors(sys_c.neighbor_finder, sys_c.coords,
+                           sys_c.boundary, sys_c.exclusions, 0)
+    e_c = float(mt.potential_energy(sys_c, nbs_c))
+    gold_c = float(np.loadtxt(DATA + "/openmm_tip4pfb/energy_cons.txt"))
+    assert abs(e_c - gold_c) < 2e-3
+    f_c = np.asarray(mt.forces(sys_c, nbs_c))
+    fgc = np.loadtxt(DATA + "/openmm_tip4pfb/forces_cons.txt")
+    fgc[3::4] = 0.0
+    assert np.max(np.linalg.norm(f_c - fgc, axis=1)) < 1e-4
+
+
+def test_openmm_refs_neighbor_path():
+    """openmm_refs protein gate (reference: test/basic.jl:400-462): exact
+    PME + the production cell-list neighbor path, mean force diff < 0.15.
+    sgpb_omtky3 exercises disulfide detection; this gate also guards the
+    trial-sized neighbor capacities (mean-density sizing overflowed on
+    protein-in-vacuum boxes and silently truncated forces)."""
+    from mollytpu.ops.neighbors import find_neighbors
+
+    ff = mt.ForceField(DATA + "/force_fields/ff99SBildn.xml",
+                       DATA + "/force_fields/tip3p_standard.xml")
+    for name in ["bpti", "sgpb_omtky3"]:
+        sys = mt.system_from_pdb(DATA + f"/openmm_refs/{name}.pdb", ff,
+                                 nonbonded_method="pme",
+                                 approximate_pme=False, dtype=jnp.float64)
+        nbs = find_neighbors(sys.neighbor_finder, sys.coords, sys.boundary,
+                             sys.exclusions, 0)
+        assert int(nbs.overflow) == 0
+        f = np.asarray(mt.forces(sys, nbs))
+        gold = np.asarray(
+            [[float(v.split(" ")[0]) for v in line.strip().split(",")]
+             for line in open(DATA + f"/openmm_refs/{name}.dat")])
+        d = np.linalg.norm(f - gold, axis=1)
+        assert d.mean() < 0.15, (name, d.mean())
