@@ -49,7 +49,9 @@ def build(n_side=27, dtype=jnp.float32):
 
 def main():
     import mollytpu as mt
-    from mollytpu.ops.neighbors import find_neighbors, maybe_rebuild
+    from mollytpu.ops.neighbors import find_neighbors
+    from mollytpu.sim.simulate import _make_chunk_fn
+    from functools import partial
 
     dt_ps = 0.002
     sys = build()
@@ -59,20 +61,11 @@ def main():
     aux = sim.init_aux(sys, nbs)
 
     n_chunk = 100
-
-    @jax.jit
-    def run_chunk(sys, nbs, aux, key, step0):
-        def body(carry, i):
-            sys, nbs, aux, key = carry
-            key, sub = jax.random.split(key)
-            sys, aux = sim.step(sys, nbs, aux, step0 + i, sub)
-            nbs = maybe_rebuild(sys.neighbor_finder, nbs, sys.coords,
-                                sys.boundary, sys.exclusions, step0 + i + 1)
-            return (sys, nbs, aux, key), None
-
-        (sys, nbs, aux, key), _ = jax.lax.scan(
-            body, (sys, nbs, aux, key), jnp.arange(n_chunk))
-        return sys, nbs, aux, key
+    # nested-scan chunk: inner scans between rebuilds, unconditional rebuild
+    # at each cadence boundary (no per-step lax.cond)
+    run_chunk = jax.jit(partial(
+        _make_chunk_fn(sim, False, sys.neighbor_finder, align=0),
+        n=n_chunk))
 
     key = jax.random.PRNGKey(0)
     # warmup + compile

@@ -31,8 +31,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BLOCK = 64        # atoms per i-cluster (sorted-order granularity)
-LANES = 256       # j-chunk width of one kernel grid step (2 vreg rows)
+import os
+
+# atoms per i-cluster (sorted-order granularity) and j-chunk width of one
+# kernel grid step. Env-overridable for autotune sweeps; the kernel's total
+# pair-slot count grows with BLOCK while the per-step j-gather volume and
+# grid dispatch count shrink as 1/BLOCK (measured optimum on the 19.7k-atom
+# LJ benchmark: BLOCK=128, LANES=256).
+BLOCK = int(os.environ.get("MOLLYTPU_BLOCK", "128"))
+LANES = int(os.environ.get("MOLLYTPU_LANES", "256"))
 
 
 def _register(cls, data_fields, meta_fields=()):
@@ -59,13 +66,21 @@ class BlockPairs:
     j_static: jax.Array     # (4, P * LANES) sigma/sqrt(eps)/charge/id packed
                             # at rebuild, or None when the finder has no
                             # atom_static snapshot (caller gathers per step)
+    centers: jax.Array      # (3, B) i-block AABB centers (kernel-local frame
+                            # + per-entry MIC hoisted out of the kernel)
+    a_stat: jax.Array       # (B, 4, BLOCK) sigma/sqrt(eps)/charge/id in
+                            # sorted block layout, packed at rebuild (or None)
+    pexcl: jax.Array        # (B, BLOCK, w_excl) per-atom exclusion id table
+                            # in block layout (None if no exclusions given)
+    pspec: jax.Array        # (B, BLOCK, w_spec) special-pair id table
     overflow: jax.Array     # () int32
     step_built: jax.Array   # () int32
 
 
 _register(BlockPairs,
           ["order", "inv_order", "jcount", "flat_i", "row_start", "n_items",
-           "n_pairs", "work_idx", "j_static", "overflow", "step_built"])
+           "n_pairs", "work_idx", "j_static", "centers", "a_stat", "pexcl",
+           "pspec", "overflow", "step_built"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +97,14 @@ class BlockPairFinder:
     dist_cutoff: float
     atom_static: jax.Array = None
     grid_dims: tuple = dataclasses.field(default=None, metadata={"static": True})
+    sort_dims: tuple = dataclasses.field(default=(1, 1, 1),
+                                         metadata={"static": True})
+    # True: the per-entry minimum-image shift against the i-block center is
+    # applied OUTSIDE the kernel (valid when block extents + 2 cutoff fit in
+    # the box — find() raises the overflow guard bit if that ever fails);
+    # False: the kernel applies per-pair MIC (small/dense boxes).
+    hoist_mic: bool = dataclasses.field(default=False,
+                                        metadata={"static": True})
     n_pad: int = dataclasses.field(default=0, metadata={"static": True})
     max_pairs: int = dataclasses.field(default=1024, metadata={"static": True})
     max_jlist: int = dataclasses.field(default=LANES, metadata={"static": True})
@@ -105,7 +128,8 @@ class BlockPairFinder:
         sides = np.asarray(jax.device_get(boundary.side_lengths), dtype=np.float64)
         cs = cell_size or dist_cutoff
         dims = tuple(int(max(1, math.floor(s / cs))) for s in sides)
-        n_pad = ((n_atoms + LANES - 1) // LANES) * LANES
+        quantum = BLOCK * LANES // math.gcd(BLOCK, LANES)
+        n_pad = ((n_atoms + quantum - 1) // quantum) * quantum
         vol = float(np.prod(sides))
         dens = n_atoms / vol
         a_blk = (BLOCK / dens) ** (1.0 / 3.0)  # i-cluster cube side estimate
@@ -124,10 +148,29 @@ class BlockPairFinder:
         if atoms is not None:
             atom_static = jnp.stack([atoms.sigma, jnp.sqrt(atoms.epsilon),
                                      atoms.charge])
+        # sort cells sized to hold ~BLOCK atoms each -> near-cubic block AABBs
+        a_blk_sort = (BLOCK / dens) ** (1.0 / 3.0) if vol > 0 and np.isfinite(
+            vol) else float("inf")
+        sort_dims = tuple(
+            int(min(1024, max(1, round(s / a_blk_sort))))
+            if np.isfinite(s) else 1 for s in sides)
+        while len(sort_dims) < 3:
+            sort_dims = sort_dims + (1,)
+        # hoisted MIC is valid when every block's extent + 2 cutoff fits the
+        # box; 3 sort cells of slack covers blocks straddling cell (and most
+        # Z-curve) boundaries, and find() verifies the true extents each
+        # rebuild via the overflow guard
+        if not any(np.isfinite(s) for s in sides):
+            hoist_mic = True  # fully open boundary: MIC is a no-op
+        else:
+            hoist_mic = bool(np.isfinite(a_blk_sort)) and all(
+                (not np.isfinite(s))
+                or s >= 2.0 * dist_cutoff + 3.0 * a_blk_sort
+                for s in sides)
         finder = cls(dist_cutoff=float(dist_cutoff), atom_static=atom_static,
-                     grid_dims=dims, n_pad=n_pad,
+                     grid_dims=dims, sort_dims=sort_dims, n_pad=n_pad,
                      max_pairs=max_pairs, max_jlist=max_jlist,
-                     n_steps=n_steps)
+                     n_steps=n_steps, hoist_mic=hoist_mic)
         if coords is not None:
             trial = finder.find(coords, boundary)
             pair_over = int(jax.device_get(trial.overflow)) >> 20
@@ -160,21 +203,39 @@ class BlockPairFinder:
         n_pad = self.n_pad
         frac = boundary.fractional(boundary.wrap(coords))
         frac = jnp.clip(frac, 0.0, 1.0 - 1e-7)
-        # 10-bit-per-axis Morton code straight from fractional coordinates
-        # (the reference's Z-order reorder, src/kernels.jl:575-645). A
-        # power-of-two implicit grid keeps consecutive sorted atoms spatially
-        # compact; cutoff-sized cells fragment the curve badly.
-        q = (frac * 1024.0).astype(jnp.int32)
+        # Grid-binned serpentine sort: cells sized so one cell holds ~BLOCK
+        # atoms (tight near-cubic AABBs), cells ordered along a boustrophedon
+        # curve — unlike a Z-curve, EVERY consecutive cell pair is
+        # face-adjacent, so a block that straddles a cell boundary spans
+        # spatial neighbors and its AABB stays ~2 cells (Z-curve
+        # discontinuities produced box-spanning AABBs at BLOCK >= 128).
+        # Atoms within a cell order along the cell's traversal direction of
+        # the last axis so the curve continues smoothly through the cell.
+        # Reference analogue: the CUDA Morton reorder, src/kernels.jl:575-645.
+        n_dims = frac.shape[1]
+        dims = jnp.asarray(self.sort_dims[:n_dims], dtype=jnp.int32)
+        q = jnp.minimum((frac * dims[None, :].astype(frac.dtype)).astype(
+            jnp.int32), dims[None, :] - 1)
 
-        def spread(v):
-            v = v.astype(jnp.int64)
-            v = (v | (v << 16)) & 0x030000FF
-            v = (v | (v << 8)) & 0x0300F00F
-            v = (v | (v << 4)) & 0x030C30C3
-            v = (v | (v << 2)) & 0x09249249
-            return v
-
-        code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+        # serpentine rank: fold axes left to right, flipping each axis'
+        # direction with the parity of the rank accumulated so far
+        rank = q[:, 0]
+        for k in range(1, n_dims):
+            nk = dims[k]
+            flip = rank % 2 == 1
+            qk = jnp.where(flip, nk - 1 - q[:, k], q[:, k])
+            if k == n_dims - 1:
+                last_flip = flip
+            rank = rank * nk + qk
+        if n_dims == 1:
+            last_flip = jnp.zeros(rank.shape, dtype=bool)
+        # within-cell suffix: last-axis position, running in the same
+        # direction as the cell column's traversal so the curve continues
+        # smoothly through cell boundaries
+        zq = jnp.minimum((frac[:, -1] * jnp.asarray(
+            1024.0, frac.dtype)).astype(jnp.int32), 1023)
+        zq = jnp.where(last_flip, 1023 - zq, zq)
+        code = rank.astype(jnp.int64) * 1024 + zq.astype(jnp.int64)
         order = jnp.argsort(code).astype(jnp.int32)
         order = jnp.concatenate([
             order, jnp.full((n_pad - n,), n, dtype=jnp.int32)])
@@ -278,7 +339,10 @@ class BlockPairFinder:
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(cpr.astype(jnp.int32))[:-1]])
         total = jnp.sum(cpr).astype(jnp.int32)
-        p_max = self.max_work_items or (b * nchunk)
+        # cap at b*nchunk: jnp slicing clamps silently, so a larger
+        # max_work_items would desync flat_i's shape from p_max downstream
+        p_max = (min(self.max_work_items, b * nchunk)
+                 if self.max_work_items else (b * nchunk))
         c_idx = jnp.broadcast_to(jnp.arange(nchunk, dtype=jnp.int32)[None, :],
                                  (b, nchunk))
         live_c = c_idx < cpr[:, None]
@@ -290,6 +354,16 @@ class BlockPairFinder:
             (wkeys, v_blk, c_idx.reshape(-1)), num_keys=1)
         flat_i = flat_i_full[:p_max]
         flat_c = flat_c_full[:p_max]
+        # Padding items (p >= total) MUST map to the last live i-block: the
+        # kernel's output BlockSpec indexes f_ref by flat_i[p], and Pallas
+        # write-back assumes each output block is visited in ONE contiguous
+        # run — arbitrary padding values make it revisit earlier blocks and
+        # flush stale VMEM over their accumulated forces (whole blocks of
+        # garbage forces, TPU-compiled only; interpret mode hides it).
+        live_it = jnp.arange(p_max, dtype=jnp.int32) < total
+        last_blk = flat_i_full[jnp.maximum(total - 1, 0)]
+        flat_i = jnp.where(live_it, flat_i, last_blk)
+        flat_c = jnp.where(live_it, flat_c, 0)
         work_overflow = jnp.maximum(total - p_max, 0).astype(jnp.int32)
 
         # work-layout j position tiles: item p covers kept atoms
@@ -303,31 +377,55 @@ class BlockPairFinder:
         valid = offs < jcount[flat_i][:, None]
         work_idx = jnp.where(valid, gathered, n_pad).reshape(p_max * LANES)
 
-        # static j fields pack once per rebuild when available
+        # static fields pack once per rebuild when available
         j_static = None
+        a_stat = None
+        is_real = order < n
         if self.atom_static is not None:
-            is_real = order < n
             stat = jnp.where(is_real[None, :],
                              self.atom_static[:, safe], 0.0)
             ids = jnp.where(is_real, order, n).astype(self.atom_static.dtype)
             stat4 = jnp.concatenate([stat, ids[None, :]])     # (4, n_pad)
-            sentinel = jnp.asarray([0.0, 0.0, 0.0, n],
-                                   self.atom_static.dtype)[:, None]
-            stat4 = jnp.concatenate([stat4, sentinel], axis=1)
+            a_stat = stat4.reshape(4, b, BLOCK).transpose(1, 0, 2)
+            stat4 = jnp.concatenate([
+                stat4, jnp.asarray([0.0, 0.0, 0.0, n],
+                                   self.atom_static.dtype)[:, None]], axis=1)
             j_static = stat4[:, work_idx]                     # (4, P*LANES)
+
+        # exclusion/special id tables in sorted block layout (rebuild-static)
+        pexcl = pspec = None
+        if exclusions is not None and hasattr(exclusions, "excl_table"):
+            dt = (self.atom_static.dtype if self.atom_static is not None
+                  else coords.dtype)
+            w_e = exclusions.excl_table.shape[1]
+            w_s = exclusions.spec_table.shape[1]
+            pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe],
+                              n).reshape(b, BLOCK, w_e).astype(dt)
+            pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe],
+                              n).reshape(b, BLOCK, w_s).astype(dt)
 
         overflow = ((pair_overflow << 20)
                     | (jnp.minimum(j_overflow, 0x3FF) << 10)
                     | jnp.minimum(work_overflow, 0x3FF))
+        if self.hoist_mic:
+            # guard: hoisted per-entry MIC needs extent + 2 rc <= box on
+            # every periodic axis for every block (checked on true extents)
+            width = 2.0 * exts  # (3, B) full AABB widths
+            for k in range(coords.shape[1]):
+                box_k = sides[k]
+                bad = jnp.isfinite(box_k) & jnp.any(
+                    width[k] + 2.0 * self.dist_cutoff > box_k)
+                overflow = overflow | (bad.astype(jnp.int32) << 30)
         return BlockPairs(order=order, inv_order=inv_order, jcount=jcount,
                           flat_i=flat_i, row_start=row_start,
                           n_items=jnp.minimum(total, p_max).reshape(1),
                           n_pairs=total_pairs.reshape(1),
                           work_idx=work_idx, j_static=j_static,
-                          overflow=overflow,
+                          centers=centers, a_stat=a_stat, pexcl=pexcl,
+                          pspec=pspec, overflow=overflow,
                           step_built=jnp.asarray(step_n, jnp.int32))
 
 
 _register(BlockPairFinder, ["dist_cutoff", "atom_static"],
-          ["grid_dims", "n_pad", "max_pairs", "max_jlist",
-           "max_work_items", "n_steps"])
+          ["grid_dims", "sort_dims", "n_pad", "max_pairs", "max_jlist",
+           "max_work_items", "n_steps", "hoist_mic"])

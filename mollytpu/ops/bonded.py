@@ -249,10 +249,29 @@ def position_restraints(i, k, x0):
 # --- evaluation engine -------------------------------------------------------
 
 
+def _pad_single_term(slist: SpecificList) -> SpecificList:
+    """Duplicate a lone term with weight 0 so no (1,)-shaped arrays reach XLA.
+
+    XLA:CPU evaluates single-element f64 transcendentals (exp/sin/atan2)
+    through a scalar codegen path with only float32-level accuracy; any
+    vectorized shape is bit-accurate. Duplicating the real row keeps the
+    geometry non-degenerate so gradients stay finite under the zero weight.
+    """
+    if slist.n_terms != 1:
+        return slist
+    idx = jnp.concatenate([slist.atom_idx, slist.atom_idx], axis=0)
+    params = {
+        k: jnp.concatenate([v, jnp.zeros_like(v) if k == "weight" else v])
+        for k, v in slist.params.items()
+    }
+    return dataclasses.replace(slist, atom_idx=idx, params=params)
+
+
 def specific_energy(slist: SpecificList, coords, boundary):
     """Total energy of all terms in the list."""
     if slist.n_terms == 0:
         return jnp.zeros((), dtype=coords.dtype)
+    slist = _pad_single_term(slist)
     fn = TERM_FUNCS[slist.kind]
     gathered = coords[slist.atom_idx]  # (K, A, 3)
 
@@ -276,6 +295,7 @@ def specific_forces(slist: SpecificList, coords, boundary, needs_virial=False):
     zero_vir = jnp.zeros((3, 3), dtype=coords.dtype)
     if slist.n_terms == 0:
         return jnp.zeros_like(coords), zero_vir
+    slist = _pad_single_term(slist)
     fn = TERM_FUNCS[slist.kind]
     gathered = coords[slist.atom_idx]  # (K, A, 3)
 

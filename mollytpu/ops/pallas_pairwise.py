@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 
 import jax
@@ -201,16 +202,17 @@ def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
     return e, coef
 
 
-def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
+def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic,
             # scalar prefetch
             flat_i_ref, row_start_ref, n_items_ref,
             # inputs
-            box_ref, a_ref, aexcl_ref, aspec_ref, jc_ref, js_ref,
+            box_ref, cen_ref, ac_ref, as_ref, aexcl_ref, aspec_ref, jc_ref,
+            js_ref,
             # outputs
             f_ref, eng_ref, vir_ref):
     p = pl.program_id(0)
     i = flat_i_ref[p]
-    dtype = a_ref.dtype
+    dtype = ac_ref.dtype
 
     # first work item of this i-block initializes its force accumulator
     # (padding items carry flat_i = 0 but p >= n_items > row_start[0] = 0)
@@ -228,31 +230,49 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
 
     @pl.when(p < n_items_ref[0])
     def _():
-        # work-layout gathered j-atoms: coords (4, LANES) packed per step,
-        # statics (4, LANES) packed at rebuild. Fake/padding atoms carry
-        # zero sigma/eps/charge so they contribute exactly zero without
-        # id-range compares (their ids also match the exclusion-table
-        # padding sentinel, which kills most of them outright).
-        jc = jc_ref[...]
-        js = js_ref[...]
-        bx, by, bz = jc[0], jc[1], jc[2]
+        # Coordinates arrive in the wrapped simulation frame; the kernel
+        # shifts both tiles into the i-block's local frame (AABB center from
+        # SMEM) and applies the minimum image PER J-ENTRY — O(LANES) work
+        # instead of O(BLOCK x LANES) per-pair box math. Block-local frames
+        # also keep |x| ~ cutoff so the f32 moment-form reduction is accurate.
+        cx = cen_ref[0, 0, 0]
+        cy = cen_ref[0, 0, 1]
+        cz = cen_ref[0, 0, 2]
+        jc = jc_ref[...]                   # (3, LANES) x/y/z wrapped
+        js = js_ref[...]                   # (4, LANES) sig/sqrt eps/q/id
+        bx, by, bz = jc[0] - cx, jc[1] - cy, jc[2] - cz
+        if not mic:
+            # per-entry minimum image against the i-block center (valid
+            # when block extent + 2 rc <= box, checked at rebuild)
+            bx0, bx1, bx2 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+            ib0, ib1, ib2 = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+            bx = bx - jnp.round(bx * ib0) * bx0
+            by = by - jnp.round(by * ib1) * bx1
+            bz = bz - jnp.round(bz * ib2) * bx2
         bsig, beps, bq, b_id = js[0], js[1], js[2], js[3]
-        a_all = a_ref[0]  # (8, BLOCK)
+        a_c = ac_ref[0]                    # (4, BLOCK) x/y/z wrapped
+        a_s = as_ref[0]                    # (4, BLOCK) sig/sqrt eps/q/id
 
-        ax = a_all[0]
+        ax, ay, az = a_c[0] - cx, a_c[1] - cy, a_c[2] - cz
         dx = bx[None, :] - ax[:, None]
-        dy = by[None, :] - a_all[1][:, None]
-        dz = bz[None, :] - a_all[2][:, None]
-        bx0, bx1, bx2 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
-        ib0, ib1, ib2 = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
-        dx = dx - jnp.round(dx * ib0) * bx0
-        dy = dy - jnp.round(dy * ib1) * bx1
-        dz = dz - jnp.round(dz * ib2) * bx2
+        dy = by[None, :] - ay[:, None]
+        dz = bz[None, :] - az[:, None]
+        if mic:
+            # small-box fallback: per-pair minimum image (the hoisted
+            # per-entry form is invalid when block extent + 2 rc > box)
+            bx0, bx1, bx2 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+            ib0, ib1, ib2 = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+            dx = dx - jnp.round(dx * ib0) * bx0
+            dy = dy - jnp.round(dy * ib1) * bx1
+            dz = dz - jnp.round(dz * ib2) * bx2
         r2 = dx * dx + dy * dy + dz * dz
 
-        a_id = a_all[6]
+        a_id = a_s[3]
+        # padding/fake atoms on either side carry id = n_atoms
         live = ((a_id[:, None] != b_id[None, :])
-                & (r2 < spec.cut_max * spec.cut_max))
+                & (r2 < spec.cut_max * spec.cut_max)
+                & (b_id[None, :] < n_atoms)
+                & (a_id[:, None] < n_atoms))
         excl = jnp.zeros_like(live)
         for w in range(w_excl):
             excl = excl | (b_id[None, :] == aexcl_ref[0, :, w][:, None])
@@ -262,20 +282,53 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy,
         live = live & ~excl
 
         r2s = jnp.where(live, r2, 1.0)
+        # Mosaic lowers lax.rsqrt to the VPU's raw ~2e-3 approximation (XLA
+        # refines it); two Newton steps restore f32 accuracy — the r^-12
+        # repulsive wall amplifies any inv_r error ~13x into the forces
         inv_r = jax.lax.rsqrt(r2s)
+        half_r2 = 0.5 * r2s
+        inv_r = inv_r * (1.5 - half_r2 * inv_r * inv_r)
+        inv_r = inv_r * (1.5 - half_r2 * inv_r * inv_r)
         r = r2s * inv_r
-        sig = 0.5 * (a_all[3][:, None] + bsig[None, :])
-        eps = a_all[4][:, None] * beps[None, :]  # sqrt pre-applied
-        qq = a_all[5][:, None] * bq[None, :]
+        sig = 0.5 * (a_s[0][:, None] + bsig[None, :])
+        eps = a_s[1][:, None] * beps[None, :]  # sqrt pre-applied
+        qq = a_s[2][:, None] * bq[None, :]
 
         e, coef = _pair_terms(spec, r2s, inv_r, r, sig, eps, qq, special, dtype)
         coef = jnp.where(live, coef, 0.0)
 
-        f_ref[...] += jnp.concatenate([
-            jnp.sum(coef * dx, axis=1)[None, :],
-            jnp.sum(coef * dy, axis=1)[None, :],
-            jnp.sum(coef * dz, axis=1)[None, :],
-            jnp.zeros((1, coef.shape[0]), dtype)])[None]
+        if mic or os.environ.get("MOLLYTPU_NO_MOMENT"):
+            # shifts vary per pair, so the moment identity does not apply:
+            # accumulate directly
+            upd = jnp.concatenate([
+                jnp.sum(coef * dx, axis=1)[None, :],
+                jnp.sum(coef * dy, axis=1)[None, :],
+                jnp.sum(coef * dz, axis=1)[None, :],
+                jnp.zeros((1, coef.shape[0]), dtype)])
+        else:
+            # moment-form accumulation: f_i = sum_j c (xj - xi)
+            #                               = (c @ [jx jy jz 1]) - xi*(c @ 1)
+            # — one MXU contraction replaces three per-pair multiplies and
+            # three VPU reduction trees. Block-local coords keep |x| ~ rc so
+            # the difference loses < ~6e-6 relative in f32.
+            # Row 3 is constant 1.0, so m4[3] lands sum_j c directly.
+            jl4 = jnp.concatenate([
+                bx[None, :], by[None, :], bz[None, :],
+                jnp.ones((1, bx.shape[0]), dtype)])
+            # HIGHEST precision: the MXU's default bf16 multiplies are fine
+            # for energies but the f_i = m4 - xi*s0 cancellation amplifies
+            # bf16 rounding of the coordinates into O(1) force errors
+            m4 = jax.lax.dot_general(
+                jl4, coef, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype)  # (4,BLOCK) [Scx,Scy,Scz,Sc]
+            s0 = m4[3]
+            upd = jnp.concatenate([
+                (m4[0] - ax * s0)[None, :],
+                (m4[1] - ay * s0)[None, :],
+                (m4[2] - az * s0)[None, :],
+                jnp.zeros((1, coef.shape[0]), dtype)])
+        f_ref[...] += upd[None]
         if compute_energy:
             e = jnp.where(live, e, 0.0)
             eng_ref[0, 0] += 0.5 * jnp.sum(e)
@@ -313,46 +366,72 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
     # `mat[:, idx]` form, no basic-slice+gather compounds (20-600x slower),
     # no transposes on the hot path — kernel inputs/outputs are 2-D
     # field-rows x atoms matrices sliced by BlockSpec column windows.
+    #
+    # Per step only the coordinates move: everything order-static (atom
+    # parameters, ids, exclusion tables) is packed at rebuild inside
+    # BlockPairFinder.find, and the per-step XLA work is exactly two
+    # coordinate gathers (block layout + work layout). Minimum-image and the
+    # shift into the i-block local frame happen IN the kernel, per j-entry.
     wrapped = boundary.wrap(coords)
+    raw3c = wrapped.T.astype(dtype)                          # (3, N)
+    sorted3c = raw3c[:, safe]                                # (3, n_pad)
+    a_coords = jnp.concatenate(
+        [sorted3c, jnp.zeros((1, n_pad), dtype)]
+    ).reshape(4, b, BLOCK).transpose(1, 0, 2)                # (B, 4, BLOCK)
+    cen4 = jnp.concatenate([
+        blockpairs.centers.astype(dtype),
+        jnp.zeros((1, blockpairs.centers.shape[1]), dtype)]
+    ).T[:, None, :]                                          # (B, 1, 4)
+
+    a_stat = blockpairs.a_stat
     ids_sorted = jnp.where(is_real, order, n).astype(dtype)
-    # fake/padding atoms sit at 1e6 so distance culls them in the kernel
-    raw4c = jnp.concatenate(
-        [wrapped.T, jnp.zeros((1, n), dtype)]).astype(dtype)  # (4, N)
-    sorted4c = jnp.where(is_real[None, :], raw4c[:, safe], 1e6)
-    raw3s = jnp.concatenate([
-        atoms.sigma[None, :],
-        jnp.sqrt(atoms.epsilon)[None, :],  # geometric mixing via product
-        atoms.charge[None, :],
-    ]).astype(dtype)
-    sorted3s = jnp.where(is_real[None, :], raw3s[:, safe], 0.0)
-    a8 = jnp.concatenate([
-        sorted4c[:3], sorted3s, ids_sorted[None, :],
-        jnp.zeros((1, n_pad), dtype)])
-    packed_a = a8.reshape(8, b, BLOCK).transpose(1, 0, 2)   # (B, 8, BLOCK)
-    # per-step j coordinate tiles in work layout (grid step p reads column
-    # window p — sequential HBM); statics + image shifts come pre-packed
-    # from the rebuild when the finder carries an atom_static snapshot
-    fc4 = jnp.concatenate(
-        [sorted4c, jnp.full((4, 1), 1e6, dtype)], axis=1)
-    j_coords = fc4[:, blockpairs.work_idx]                  # (4, P*LANES)
+    if a_stat is None:
+        raw3s = jnp.concatenate([
+            atoms.sigma[None, :],
+            jnp.sqrt(atoms.epsilon)[None, :],  # geometric mixing via product
+            atoms.charge[None, :],
+        ]).astype(dtype)
+        sorted3s = jnp.where(is_real[None, :], raw3s[:, safe], 0.0)
+        stat4 = jnp.concatenate([sorted3s, ids_sorted[None, :]])
+        a_stat = stat4.reshape(4, b, BLOCK).transpose(1, 0, 2)
+    a_stat = a_stat.astype(dtype)
+
+    # j coordinates: ONE raw 3-row gather in work layout (j-side MIC + the
+    # local-frame shift happen in the kernel)
+    hoist_mic = getattr(finder, "hoist_mic", False)
+    fc3 = jnp.concatenate([sorted3c, jnp.zeros((3, 1), dtype)], axis=1)
+    j_coords = fc3[:, blockpairs.work_idx]                   # (3, P*LANES)
+    sides = jnp.asarray(boundary.side_lengths, dtype)
+    periodic = jnp.isfinite(sides)
+    # big finite stand-in for open axes so round(dx/box) == 0 in-kernel
+    finite_big = jnp.where(periodic, sides, 1e30)
+    box = jnp.concatenate([finite_big, 1.0 / finite_big]).reshape(1, 6)
+
     j_static = blockpairs.j_static
     if j_static is None:
+        raw3s = jnp.concatenate([
+            atoms.sigma[None, :],
+            jnp.sqrt(atoms.epsilon)[None, :],
+            atoms.charge[None, :],
+        ]).astype(dtype)
+        sorted3s = jnp.where(is_real[None, :], raw3s[:, safe], 0.0)
         fs4 = jnp.concatenate([sorted3s, ids_sorted[None, :]])
         fs4 = jnp.concatenate(
             [fs4, jnp.asarray([0.0, 0.0, 0.0, n], dtype)[:, None]], axis=1)
         j_static = fs4[:, blockpairs.work_idx]
     j_static = j_static.astype(dtype)
+
     w_excl = int(exclusions.excl_table.shape[1])
     w_spec = int(exclusions.spec_table.shape[1])
-    pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe], n)
-    pexcl = pexcl.reshape(b, BLOCK, w_excl).astype(dtype)
-    pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe], n)
-    pspec = pspec.reshape(b, BLOCK, w_spec).astype(dtype)
-    sides = jnp.asarray(boundary.side_lengths, dtype)
-    # non-periodic axes (inf) -> huge finite box so round(dx/box) == 0;
-    # reciprocals precomputed to avoid per-pair divides
-    finite = jnp.where(jnp.isfinite(sides), sides, 1e30)
-    box = jnp.concatenate([finite, 1.0 / finite]).reshape(1, 6)
+    pexcl, pspec = blockpairs.pexcl, blockpairs.pspec
+    if pexcl is None or pexcl.shape[2] != w_excl:
+        pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe], n)
+        pexcl = pexcl.reshape(b, BLOCK, w_excl)
+    if pspec is None or pspec.shape[2] != w_spec:
+        pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe], n)
+        pspec = pspec.reshape(b, BLOCK, w_spec)
+    pexcl = pexcl.astype(dtype)
+    pspec = pspec.astype(dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -360,13 +439,17 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         in_specs=[
             pl.BlockSpec((1, 6), lambda p, fi, rs, ni: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, BLOCK),
+            pl.BlockSpec((1, 1, 4), lambda p, fi, rs, ni: (fi[p], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, BLOCK),
+                         lambda p, fi, rs, ni: (fi[p], 0, 0)),
+            pl.BlockSpec((1, 4, BLOCK),
                          lambda p, fi, rs, ni: (fi[p], 0, 0)),
             pl.BlockSpec((1, BLOCK, w_excl),
                          lambda p, fi, rs, ni: (fi[p], 0, 0)),
             pl.BlockSpec((1, BLOCK, w_spec),
                          lambda p, fi, rs, ni: (fi[p], 0, 0)),
-            pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
+            pl.BlockSpec((3, LANES), lambda p, fi, rs, ni: (0, p)),
             pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
         ],
         out_specs=[
@@ -377,7 +460,8 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                          memory_space=pltpu.SMEM),
         ],
     )
-    kernel = partial(_kernel, spec, float(n), w_excl, w_spec, compute_energy)
+    kernel = partial(_kernel, spec, float(n), w_excl, w_spec, compute_energy,
+                     not hoist_mic)
     f4, eng, vir6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -388,7 +472,7 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         ],
         interpret=interpret,
     )(blockpairs.flat_i, blockpairs.row_start, blockpairs.n_items,
-      box, packed_a, pexcl, pspec, j_coords, j_static)
+      box, cen4, a_coords, a_stat, pexcl, pspec, j_coords, j_static)
 
     # unsort forces to the original atom order by inverse-permutation GATHER
     # (a scatter here costs ~0.4us per element on TPU)

@@ -40,21 +40,78 @@ def _chunk_sizes(n_steps, intervals):
     return sizes
 
 
-def _make_chunk_fn(simulator, needs_virial):
-    def run_chunk(sys, neighbors, aux, key, step0, n):
-        def body(carry, i):
-            sys, neighbors, aux, key = carry
-            step_n = step0 + i
-            key, sub = jax.random.split(key)
-            sys, aux = simulator.step(sys, neighbors, aux, step_n, sub,
-                                      needs_virial=needs_virial)
-            neighbors = maybe_rebuild(sys.neighbor_finder, neighbors, sys.coords,
-                                      sys.boundary, sys.exclusions, step_n + 1)
-            return (sys, neighbors, aux, key), None
+def _make_chunk_fn(simulator, needs_virial, finder=None, align=0):
+    """Build the jitted chunk runner.
 
-        (sys, neighbors, aux, key), _ = jax.lax.scan(
-            body, (sys, neighbors, aux, key), jnp.arange(n))
-        return sys, neighbors, aux, key
+    When the neighbor finder has a rebuild cadence r > 1, the chunk is run as
+    [pre-steps to the next r boundary] + [outer scan over full r-step periods
+    with one UNCONDITIONAL rebuild each] + [tail steps]. This removes the
+    per-step lax.cond of the naive loop, which costs ~1 ms/step in pytree
+    copies on TPU for a 20k-atom system (the cond's false branch still
+    round-trips the whole neighbor structure through the carry).
+
+    align = step0 % r must be passed statically (it shapes the program); the
+    caller knows step0 on the host.
+    """
+    def step_body(carry, i):
+        sys, neighbors, aux, key = carry
+        key, sub = jax.random.split(key)
+        sys, aux = simulator.step(sys, neighbors, aux, i, sub,
+                                  needs_virial=needs_virial)
+        return (sys, neighbors, aux, key), None
+
+    r = getattr(finder, "n_steps", 1) if finder is not None else 1
+
+    def run_chunk(sys, neighbors, aux, key, step0, n):
+        carry = (sys, neighbors, aux, key)
+        if finder is None or neighbors is None or r <= 1:
+            # per-step maybe_rebuild (r == 1 means rebuild every step anyway)
+            def body(c, i):
+                sys, neighbors, aux, key = c
+                step_n = step0 + i
+                key, sub = jax.random.split(key)
+                sys, aux = simulator.step(sys, neighbors, aux, step_n, sub,
+                                          needs_virial=needs_virial)
+                neighbors = maybe_rebuild(sys.neighbor_finder, neighbors,
+                                          sys.coords, sys.boundary,
+                                          sys.exclusions, step_n + 1)
+                return (sys, neighbors, aux, key), None
+
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(n))
+            return carry
+
+        pre = min((-align) % r, n)
+        n_periods = (n - pre) // r
+        tail = n - pre - n_periods * r
+
+        def steps_only(carry, step0_, k):
+            sys, neighbors, aux, key = carry
+            (sys, neighbors, aux, key), _ = jax.lax.scan(
+                step_body, (sys, neighbors, aux, key),
+                step0_ + jnp.arange(k))
+            return sys, neighbors, aux, key
+
+        if pre:
+            sys, neighbors, aux, key = steps_only(carry, step0, pre)
+            neighbors = find_neighbors(sys.neighbor_finder, sys.coords,
+                                       sys.boundary, sys.exclusions,
+                                       step0 + pre)
+            carry = (sys, neighbors, aux, key)
+
+        if n_periods:
+            def period(c, k):
+                sys, neighbors, aux, key = steps_only(
+                    c, step0 + pre + k * r, r)
+                neighbors = find_neighbors(sys.neighbor_finder, sys.coords,
+                                           sys.boundary, sys.exclusions,
+                                           step0 + pre + (k + 1) * r)
+                return (sys, neighbors, aux, key), None
+
+            carry, _ = jax.lax.scan(period, carry, jnp.arange(n_periods))
+
+        if tail:
+            carry = steps_only(carry, step0 + pre + n_periods * r, tail)
+        return carry
 
     return run_chunk
 
@@ -96,14 +153,17 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
     chunks = _chunk_sizes(n_steps, intervals)
 
     chunk_fn_cache = {}
-    run_chunk = _make_chunk_fn(simulator, needs_virial)
+    finder = sys.neighbor_finder if neighbors is not None else None
+    r = getattr(finder, "n_steps", 1) if finder is not None else 1
 
     step_n = init_step
     for n in chunks:
-        if n not in chunk_fn_cache:
-            chunk_fn_cache[n] = jax.jit(partial(run_chunk, n=n))
-        sys, neighbors, aux, key = chunk_fn_cache[n](sys, neighbors, aux, key,
-                                                     jnp.asarray(step_n))
+        align = step_n % r if r > 1 else 0
+        if (n, align) not in chunk_fn_cache:
+            run_chunk = _make_chunk_fn(simulator, needs_virial, finder, align)
+            chunk_fn_cache[(n, align)] = jax.jit(partial(run_chunk, n=n))
+        sys, neighbors, aux, key = chunk_fn_cache[(n, align)](
+            sys, neighbors, aux, key, jnp.asarray(step_n))
         step_n += n
         if check_nans:
             if bool(jnp.any(jnp.isnan(sys.coords))):

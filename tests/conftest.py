@@ -1,15 +1,17 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is unavailable in CI; sharding tests use
-xla_force_host_platform_device_count (see repo instructions). Set before any
-jax import so the backend picks it up.
+xla_force_host_platform_device_count (see repo instructions).
+
+NOTE: this image PREIMPORTS jax at interpreter startup, so JAX_PLATFORMS in
+the environment (shell or os.environ) is already snapshotted and silently
+ignored — jax.config.update is the only reliable switch. Without it the
+"CPU" suite runs over the axon TPU tunnel: ~1 ms dispatch per call and f64
+transcendentals at float32 accuracy.
 """
 
 import os
 
-# Force CPU: the shell env sets JAX_PLATFORMS=axon (TPU tunnel), which is
-# slow to initialize and single-tenant; unit tests run on host CPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +20,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

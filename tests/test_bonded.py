@@ -13,6 +13,10 @@ B = mt.rectangular([100.0, 100.0, 100.0], dtype=jnp.float64)
 
 
 def fd_forces(slist, coords, h=1e-6):
+    # jit: XLA CPU's eager (op-by-op) path evaluates f64 transcendentals with
+    # float32-level accuracy, which swamps central differences; the compiled
+    # path is bit-accurate.
+    e_fn = jax.jit(specific_energy)
     c = np.asarray(coords, dtype=np.float64)
     out = np.zeros_like(c)
     for i in range(c.shape[0]):
@@ -20,8 +24,8 @@ def fd_forces(slist, coords, h=1e-6):
             cp, cm = c.copy(), c.copy()
             cp[i, d] += h
             cm[i, d] -= h
-            ep = float(specific_energy(slist, jnp.asarray(cp), B))
-            em = float(specific_energy(slist, jnp.asarray(cm), B))
+            ep = float(e_fn(slist, jnp.asarray(cp), B))
+            em = float(e_fn(slist, jnp.asarray(cm), B))
             out[i, d] = -(ep - em) / (2 * h)
     return out
 
