@@ -15,10 +15,17 @@ system derived from the reference's "~5x slower than OpenMM" statement
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+SKIN = float(os.environ.get("MOLLYTPU_BENCH_SKIN", "0.2"))
+CADENCE = int(os.environ.get("MOLLYTPU_BENCH_CADENCE", "40"))
+# autotuned for this workload (tools/sweep.py): 512-lane j-chunks halve the
+# kernel grid dispatch count; must be set before mollytpu imports
+os.environ.setdefault("MOLLYTPU_LANES", "512")
 
 
 def build(n_side=27, dtype=jnp.float32):
@@ -36,10 +43,16 @@ def build(n_side=27, dtype=jnp.float32):
     vels = mt.random_velocities(jax.random.PRNGKey(1), atoms.mass, 120.0,
                                 dtype=dtype)
     from mollytpu.ops.blockpairs import BlockPairFinder
-    # 0.15 nm skin on the cluster lists so the rebuild amortizes over
-    # 20 steps; the kernel still cuts pairs at the interaction cutoff
-    finder = BlockPairFinder.setup(boundary, 1.15, n_atoms, n_steps=20,
-                                   coords=coords, atoms=atoms)
+    # skin on the cluster lists so the rebuild amortizes over the cadence
+    # (margins: rms displacement over CADENCE steps at 120 K is ~8x below
+    # SKIN/2); the kernel still cuts pairs at the interaction cutoff
+    # capacity trial on a jittered (liquid-like) configuration: the perfect
+    # lattice undersizes j-lists by ~13% vs the equilibrated fluid
+    trial_coords = coords + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(2), coords.shape, dtype=dtype)
+    finder = BlockPairFinder.setup(boundary, 1.0 + SKIN, n_atoms,
+                                   n_steps=CADENCE,
+                                   coords=trial_coords, atoms=atoms)
     lj = mt.LennardJones(cutoff=mt.ShiftedForceCutoff(1.0), use_neighbors=True)
     sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
                     velocities=vels, pairwise_inters=(lj,),
@@ -80,6 +93,10 @@ def main():
         step0 += n_chunk
     jax.block_until_ready(sys.coords)
     elapsed = time.perf_counter() - t0
+
+    over = int(jax.device_get(nbs.overflow))
+    if over:
+        raise RuntimeError(f"neighbor overflow {over:#x}: forces degraded")
 
     s_per_step = elapsed / n_timed
     ns_day = dt_ps * 1e-3 * 86400.0 / s_per_step

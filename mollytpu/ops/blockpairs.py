@@ -156,6 +156,10 @@ class BlockPairFinder:
             if np.isfinite(s) else 1 for s in sides)
         while len(sort_dims) < 3:
             sort_dims = sort_dims + (1,)
+        # serpentine sort key is rank * 1024 + z in int32: keep the cell
+        # count below 2^20 so the key never overflows
+        while int(np.prod(sort_dims)) > (1 << 20):
+            sort_dims = tuple(max(1, d // 2) for d in sort_dims)
         # hoisted MIC is valid when every block's extent + 2 cutoff fits the
         # box; 3 sort cells of slack covers blocks straddling cell (and most
         # Z-curve) boundaries, and find() verifies the true extents each
@@ -235,7 +239,8 @@ class BlockPairFinder:
         zq = jnp.minimum((frac[:, -1] * jnp.asarray(
             1024.0, frac.dtype)).astype(jnp.int32), 1023)
         zq = jnp.where(last_flip, 1023 - zq, zq)
-        code = rank.astype(jnp.int64) * 1024 + zq.astype(jnp.int64)
+        # int32 is safe: setup clamps the cell count below 2^20
+        code = rank * 1024 + zq
         order = jnp.argsort(code).astype(jnp.int32)
         order = jnp.concatenate([
             order, jnp.full((n_pad - n,), n, dtype=jnp.int32)])
@@ -323,8 +328,11 @@ class BlockPairFinder:
         # per-block kept counts without scatters: cumulative-sum differences
         # at block boundaries located by searchsorted on the sorted pair list
         kcum = jnp.cumsum(keep.astype(jnp.int32))
+        # method="sort": one O((T+B) log) sort — "scan_unrolled" emits an
+        # UNROLLED length-T compare chain (T ~ thousands of ops, measured
+        # ~10 ms of the rebuild by itself)
         pstart = jnp.searchsorted(pair_i, jnp.arange(b + 1, dtype=jnp.int32),
-                                  method="scan_unrolled").astype(jnp.int32)
+                                  method="sort").astype(jnp.int32)
         bnd = jnp.where(pstart > 0, kcum[jnp.maximum(pstart * BLOCK - 1, 0)],
                         0)                                  # kept before block
         jcount = (bnd[1:] - bnd[:-1]).astype(jnp.int32)
