@@ -264,6 +264,11 @@ class PME(GeneralInteraction):
     excl_i: jax.Array = None
     excl_j: jax.Array = None
     scheduler: object = dataclasses.field(default=None, metadata={"static": True})
+    # "dense": separable one-hot tables + chunked MXU contractions (no
+    # scatter/gather on the mesh — TPU scatter costs ~0.4 us/element);
+    # "scatter": flat scatter-add + stencil gather (fine on CPU).
+    mesh_method: str = dataclasses.field(default="dense",
+                                         metadata={"static": True})
 
     @classmethod
     def setup(cls, boundary, dist_cutoff=1.0, error_tol=0.0005, order=5,
@@ -288,7 +293,88 @@ class PME(GeneralInteraction):
                    moduli_z=jnp.asarray(mods[2], dtype=dtype),
                    excl_i=ei, excl_j=ej, scheduler=scheduler)
 
-    # -- core pipeline ------------------------------------------------------
+    # -- dense separable (MXU) pipeline -------------------------------------
+    #
+    # TPU scatter-add lowers to a sequential per-element loop (~0.4 us/el;
+    # the N * order^3 = ~2M-element spread would cost ~1 s/step) and the
+    # N x 125 force gather is nearly as bad. The B-spline stencil is
+    # separable, so both become chunked dense contractions on the MXU:
+    #   G[x,y,z]  = sum_a (q theta_x)[a,x] theta_y[a,y] theta_z[a,z]
+    #   P1[a,x]   = sum_yz phi[x,y,z] theta_y[a,y] theta_z[a,z]   (etc.)
+    # with per-axis dense tables built by one-hot masking (no scatter).
+    # ~4 GMAC per pass at 6mrr scale: ~0.1 ms on the MXU vs ~1 s scattered.
+
+    def _dense_tables(self, coords, boundary, q, dtype):
+        order = self.order
+        recip = jnp.linalg.inv(boundary.box_matrix())
+        t = coords @ recip
+        t = (t - jnp.floor(t)) * jnp.asarray(self.mesh_dims, dtype=coords.dtype)
+        ti = jnp.floor(t).astype(jnp.int32)
+        w = t - ti
+        theta, dtheta = bspline_weights(w, order)
+        offs = jnp.arange(order, dtype=jnp.int32)
+        tabs = []
+        for d, K in enumerate(self.mesh_dims):
+            g = (ti[:, d:d + 1] + offs[None, :]) % K            # (N, order)
+            onehot = (g[:, :, None]
+                      == jnp.arange(K, dtype=jnp.int32)[None, None, :]
+                      ).astype(dtype)                           # (N, o, K)
+            A = jnp.sum(theta[:, d][:, :, None] * onehot, axis=1)
+            dA = jnp.sum(dtheta[:, d][:, :, None] * onehot, axis=1)
+            tabs.append((A, dA))
+        return tabs, recip
+
+    @staticmethod
+    def _chunk(K, minor):
+        return max(1, min(K, 512 // max(1, minor)))
+
+    def _spread_dense(self, tabs, q, dtype):
+        (Ax, _), (By, _), (Cz, _) = tabs
+        K1, K2, K3 = self.mesh_dims
+        Aq = (Ax * q[:, None]).T                                # (K1, N)
+        ch = self._chunk(K3, K2)
+        planes = []
+        prec = jax.lax.Precision.HIGHEST
+        for z0 in range(0, K3, ch):
+            cz = Cz[:, z0:z0 + ch]                              # (N, ch)
+            D = (cz[:, :, None] * By[:, None, :]).reshape(
+                Cz.shape[0], -1)                                # (N, ch*K2)
+            Gc = jax.lax.dot_general(
+                Aq, D, (((1,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=dtype)                   # (K1, ch*K2)
+            planes.append(Gc.reshape(K1, -1, K2).transpose(0, 2, 1))
+        return jnp.concatenate(planes, axis=2)                  # (K1, K2, K3)
+
+    def _interp_dense(self, phi, tabs, q, recip, dtype):
+        (Ax, dAx), (By, dBy), (Cz, dCz) = tabs
+        K1, K2, K3 = self.mesh_dims
+        n = Ax.shape[0]
+        prec = jax.lax.Precision.HIGHEST
+        ke = self.coulomb_const / self.epsilon_r
+
+        def contract(phi_m, U, V):
+            # P[a, x] = sum_{u,v} phi_m[x, u, v] U[a,u] V[a,v], chunked on u
+            Kx, Ku, Kv = phi_m.shape
+            ch = self._chunk(Ku, Kv)
+            P = jnp.zeros((n, Kx), dtype)
+            for u0 in range(0, Ku, ch):
+                pc = phi_m[:, u0:u0 + ch, :].reshape(Kx, -1)    # (Kx, ch*Kv)
+                D = (U[:, u0:u0 + ch, None] * V[:, None, :]).reshape(n, -1)
+                P = P + jax.lax.dot_general(
+                    D, pc, (((1,), (1,)), ((), ())), precision=prec,
+                    preferred_element_type=dtype)               # (n, Kx)
+            return P
+
+        P1 = contract(phi.transpose(0, 1, 2), By, Cz)           # sum_yz
+        P2 = contract(phi.transpose(1, 0, 2), Ax, Cz)           # sum_xz
+        P3 = contract(phi.transpose(2, 0, 1), Ax, By)           # sum_xy
+        du1 = jnp.sum(dAx * P1, axis=1) * K1
+        du2 = jnp.sum(dBy * P2, axis=1) * K2
+        du3 = jnp.sum(dCz * P3, axis=1) * K3
+        du = jnp.stack([du1, du2, du3], axis=-1) * q[:, None] * ke
+        return -(du @ recip.T).astype(dtype)
+
+    # -- scatter/gather pipeline (CPU and d != 3 fallback) ------------------
 
     def _spread(self, coords, boundary, q):
         """Charge spreading: returns (grid (K1,K2,K3), idx0 (N,3) int32,
@@ -343,6 +429,31 @@ class PME(GeneralInteraction):
         eterm = jnp.where(nonzero, jnp.exp(-factor * jnp.where(nonzero, m2, 1.0)) / denom, 0.0)
         return eterm.astype(dtype), mh.astype(dtype), m2.astype(dtype), factor
 
+    def _use_dense(self, coords):
+        return self.mesh_method == "dense" and coords.shape[1] == 3
+
+    def _convolve(self, grid, boundary, dtype, needs_virial=False):
+        """FFT -> influence multiply -> inverse FFT. Returns (E, phi, vir)."""
+        ke = self.coulomb_const / self.epsilon_r
+        cgrid = jnp.fft.fftn(grid.astype(
+            jnp.complex128 if dtype == jnp.float64 else jnp.complex64))
+        eterm, mh, m2, factor = self._influence(boundary, dtype)
+        s2 = jnp.real(cgrid) ** 2 + jnp.imag(cgrid) ** 2
+        ek = eterm * s2
+        e_recip = 0.5 * ke * jnp.sum(ek)
+        d = grid.ndim
+        vir = jnp.zeros((d, d), dtype=dtype)
+        if needs_virial:
+            m2s = jnp.where(m2 > 0, m2, 1.0)
+            coeff = 2.0 * (1.0 + factor * m2) / m2s
+            w_iso = 0.5 * ke * jnp.sum(ek)
+            mm = jnp.einsum("xyz,xyza,xyzb->ab", 0.5 * ke * ek * coeff, mh, mh)
+            vir = w_iso * jnp.eye(d, dtype=dtype) - mm
+        conv = jnp.fft.ifftn(cgrid * eterm) * (
+            self.mesh_dims[0] * self.mesh_dims[1] * self.mesh_dims[2])
+        phi = jnp.real(conv).astype(dtype)
+        return e_recip, phi, vir
+
     def _recip_energy_grid(self, coords, boundary, q, needs_virial=False):
         """Returns (E_recip, convolved real-space grid, spread cache, virial)."""
         dtype = coords.dtype
@@ -373,13 +484,44 @@ class PME(GeneralInteraction):
     def energy(self, coords, boundary, atoms):
         q = _effective_charges(atoms, self.scheduler)
         ke = self.coulomb_const / self.epsilon_r
-        e_recip, _, _, _ = self._recip_energy_grid(coords, boundary, q)
+        if self._use_dense(coords):
+            tabs, _ = self._dense_tables(coords, boundary, q, coords.dtype)
+            grid = self._spread_dense(tabs, q, coords.dtype)
+            e_recip, _, _ = self._convolve(grid, boundary, coords.dtype)
+        else:
+            e_recip, _, _, _ = self._recip_energy_grid(coords, boundary, q)
         e_self, e_charge = _corrections(q, self.alpha, boundary.volume(), ke)
         e_excl = _exclusion_energy(q, coords, boundary, self.alpha, ke,
                                    self.excl_i, self.excl_j)
         return e_recip + e_self + e_charge + e_excl
 
     def force_virial(self, coords, boundary, atoms, needs_virial=False):
+        if self._use_dense(coords):
+            return self._force_virial_dense(coords, boundary, atoms,
+                                            needs_virial)
+        return self._force_virial_scatter(coords, boundary, atoms,
+                                          needs_virial)
+
+    def _force_virial_dense(self, coords, boundary, atoms, needs_virial):
+        n, d = coords.shape
+        dtype = coords.dtype
+        q = _effective_charges(atoms, self.scheduler)
+        ke = self.coulomb_const / self.epsilon_r
+        tabs, recip = self._dense_tables(coords, boundary, q, dtype)
+        grid = self._spread_dense(tabs, q, dtype)
+        e_recip, phi, vir = self._convolve(grid, boundary, dtype,
+                                           needs_virial=needs_virial)
+        forces = self._interp_dense(phi, tabs, q, recip, dtype)
+        f_ex, v_ex = _exclusion_force_virial(q, coords, boundary, self.alpha,
+                                             ke, self.excl_i, self.excl_j, n,
+                                             needs_virial)
+        forces = forces + f_ex
+        if needs_virial:
+            _, e_charge = _corrections(q, self.alpha, boundary.volume(), ke)
+            vir = vir + v_ex + e_charge * jnp.eye(d, dtype=dtype)
+        return forces, vir
+
+    def _force_virial_scatter(self, coords, boundary, atoms, needs_virial=False):
         n, d = coords.shape
         dtype = coords.dtype
         q = _effective_charges(atoms, self.scheduler)
@@ -415,4 +557,4 @@ class PME(GeneralInteraction):
 
 _register(PME, ["dist_cutoff", "error_tol", "coulomb_const", "epsilon_r",
                 "alpha", "moduli_x", "moduli_y", "moduli_z", "excl_i", "excl_j"],
-          ["order", "mesh_dims", "scheduler"])
+          ["order", "mesh_dims", "scheduler", "mesh_method"])

@@ -47,13 +47,25 @@ def scan20(fn, *consts):
     return run
 
 
+CACHE = "/tmp/6mrr_sys.pkl"
+
+
 def build(dtype=jnp.float32):
-    ff = ForceField(f"{DATA}/force_fields/ff99SBildn.xml",
-                    f"{DATA}/force_fields/tip3p_standard.xml")
-    sys = system_from_pdb(f"{DATA}/6mrr_equil.pdb", ff,
-                          nonbonded_method="pme", dtype=dtype,
-                          constraints="hbonds", rigid_water=True,
-                          dist_neighbors=1.0 + SKIN)
+    import pickle
+    if os.path.exists(CACHE):
+        with open(CACHE, "rb") as fh:
+            sys = pickle.load(fh)
+    else:
+        ff = ForceField(f"{DATA}/force_fields/ff99SBildn.xml",
+                        f"{DATA}/force_fields/tip3p_standard.xml")
+        sys = system_from_pdb(f"{DATA}/6mrr_equil.pdb", ff,
+                              nonbonded_method="pme", dtype=dtype,
+                              constraints="hbonds", rigid_water=True,
+                              dist_neighbors=1.0 + SKIN)
+        sys = jax.device_get(sys)
+        with open(CACHE, "wb") as fh:
+            pickle.dump(sys, fh)
+    sys = jax.tree_util.tree_map(jnp.asarray, sys)
     finder = BlockPairFinder.setup(
         sys.boundary, 1.0 + SKIN, sys.n_atoms, n_steps=CADENCE,
         coords=sys.coords, atoms=sys.atoms)
@@ -89,6 +101,8 @@ def main():
         tuple(i for i in sys.pairwise_inters
               if getattr(i, "use_neighbors", False)))
     print("fused spec:", spec, flush=True)
+    print("excl width", sys.exclusions.excl_table.shape,
+          "spec width", sys.exclusions.spec_table.shape, flush=True)
 
     coords = sys.coords
 
@@ -105,7 +119,7 @@ def main():
     if pme:
         pme = pme[0]
         def f_pme(c, i):
-            f, e, v = pme.force_virial(c, sys.boundary, sys.atoms)
+            f, v = pme.force_virial(c, sys.boundary, sys.atoms)
             return c + 1e-9 * f
         print("PME recip       %.3f ms" % (
             timeit(scan20(f_pme), coords) / 20), flush=True)
@@ -131,9 +145,13 @@ def main():
         timeit(scan20(f_all, nbs), coords) / 20), flush=True)
 
     # 5. constraints (SHAKE position + RATTLE velocity)
-    if sys.constraints is not None:
-        cons = sys.constraints
+    cons_list = sys.constraints or ()
+    if not isinstance(cons_list, (tuple, list)):
+        cons_list = (cons_list,)
+    for cons in cons_list:
         vels = sys.velocities
+        print("constraint set:", type(cons).__name__,
+              getattr(cons, "n_constraints", "?"), flush=True)
         def f_shake(c, i):
             c2, v2 = cons.apply_position_constraints(
                 c, c + 1e-5, vels, sys.masses, sys.boundary, 0.002)
