@@ -23,6 +23,7 @@ from collections import defaultdict
 
 import numpy as np
 import jax.numpy as jnp
+from ..ops.bonded import with_incidence as _with_incidence
 
 from .. import boundary as bnd
 from ..atoms import make_atoms, AtomData
@@ -477,12 +478,15 @@ def system_from_gromacs(gro_path, top_path, nonbonded_method="cutoff",
         for (o, h1, h2, doh, dhh) in settle_triplets:
             cpairs += [(o, h1), (o, h2), (h1, h2)]
             cdists += [doh, doh, dhh]
-        constraints = (SHAKERattle.build(cpairs, jnp.asarray(cdists, dtype)),)
+        constraints = (SHAKERattle.build(cpairs, jnp.asarray(cdists, dtype),
+                                         n_atoms=n),)
 
     sys = System(atoms=atoms, coords=jnp.asarray(coords, dtype),
                  boundary=boundary,
                  velocities=jnp.asarray(vels, dtype) if velocities_from_gro else None,
-                 pairwise_inters=pairwise, specific_lists=tuple(specific_lists),
+                 pairwise_inters=pairwise,
+        specific_lists=tuple(_with_incidence(sl, n)
+                             for sl in specific_lists),
                  general_inters=tuple(general), exclusions=exclusions,
                  neighbor_finder=nf, molecule_ids=mol_ids, n_molecules=n_mol,
                  constraints=constraints)

@@ -73,6 +73,12 @@ class BlockPairs:
     pexcl: jax.Array        # (B, BLOCK, w_excl) per-atom exclusion id table
                             # in block layout (None if no exclusions given)
     pspec: jax.Array        # (B, BLOCK, w_spec) special-pair id table
+    pair_mask: jax.Array    # (P, BLOCK, LANES) int8, bit0 = excluded,
+                            # bit1 = special — precomputed when the id
+                            # tables are wide (w_excl + w_spec > 4), so the
+                            # kernel tests 2 bits instead of running
+                            # w_excl + w_spec compare rounds per pair slot.
+                            # None when the tables are narrow.
     overflow: jax.Array     # () int32
     step_built: jax.Array   # () int32
 
@@ -80,7 +86,7 @@ class BlockPairs:
 _register(BlockPairs,
           ["order", "inv_order", "jcount", "flat_i", "row_start", "n_items",
            "n_pairs", "work_idx", "j_static", "centers", "a_stat", "pexcl",
-           "pspec", "overflow", "step_built"])
+           "pspec", "pair_mask", "overflow", "step_built"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,9 +154,12 @@ class BlockPairFinder:
         if atoms is not None:
             atom_static = jnp.stack([atoms.sigma, jnp.sqrt(atoms.epsilon),
                                      atoms.charge])
-        # sort cells sized to hold ~BLOCK atoms each -> near-cubic block AABBs
-        a_blk_sort = (BLOCK / dens) ** (1.0 / 3.0) if vol > 0 and np.isfinite(
-            vol) else float("inf")
+        # sort cells sized to hold ~BLOCK/2 atoms each: a block spans ~2-3
+        # consecutive (face-adjacent) cells, giving tight AABBs AND a lower
+        # hoisted-MIC threshold — dense solvated boxes (water ~87 atoms/nm^3)
+        # qualify where BLOCK-sized cells would not
+        a_blk_sort = ((0.5 * BLOCK / dens) ** (1.0 / 3.0)
+                      if vol > 0 and np.isfinite(vol) else float("inf"))
         sort_dims = tuple(
             int(min(1024, max(1, round(s / a_blk_sort))))
             if np.isfinite(s) else 1 for s in sides)
@@ -167,9 +176,14 @@ class BlockPairFinder:
         if not any(np.isfinite(s) for s in sides):
             hoist_mic = True  # fully open boundary: MIC is a no-op
         else:
+            # 4 sort cells of slack: corner blocks (serpentine plane
+            # boundaries) span 2-3 cells per axis and densities fluctuate
+            # during dynamics — a tripped extent guard (overflow bit 30)
+            # means silently wrong forces, so the static choice must be
+            # conservative (the per-pair-MIC kernel path is always correct)
             hoist_mic = bool(np.isfinite(a_blk_sort)) and all(
                 (not np.isfinite(s))
-                or s >= 2.0 * dist_cutoff + 3.0 * a_blk_sort
+                or s >= 2.0 * dist_cutoff + 4.0 * a_blk_sort
                 for s in sides)
         finder = cls(dist_cutoff=float(dist_cutoff), atom_static=atom_static,
                      grid_dims=dims, sort_dims=sort_dims, n_pad=n_pad,
@@ -193,13 +207,19 @@ class BlockPairFinder:
                 finder, max_pairs=max(4, ((min(n_blocks * n_blocks, sized_p)
                                            + 3) // 4) * 4))
             max_cnt = int(jax.device_get(jnp.max(trial.jcount)))
-            sized_k = min(n_pad, ((int(max_cnt * 1.1) + BLOCK + LANES - 1)
+            # 2x: j-counts jump when a rebuild lands a block across a
+            # serpentine plane corner (2x2x3-cell AABB), and a saturated
+            # j-list silently drops real pairs until the next overflow
+            # check. max_jlist sizes only per-block index windows (the work
+            # arrays are sized by the TOTAL item count), so headroom is
+            # nearly free.
+            sized_k = min(n_pad, ((int(max_cnt * 2.0) + BLOCK + LANES - 1)
                                   // LANES) * LANES)
             total_work = int(jax.device_get(jnp.sum(
                 (jnp.minimum(trial.jcount, sized_k) + LANES - 1) // LANES)))
             finder = dataclasses.replace(
                 finder, max_jlist=sized_k,
-                max_work_items=int(total_work * 1.1) + 16)
+                max_work_items=int(total_work * 1.25) + 16)
         return finder
 
     def find(self, coords, boundary, exclusions=None, step_n=0):
@@ -401,7 +421,7 @@ class BlockPairFinder:
             j_static = stat4[:, work_idx]                     # (4, P*LANES)
 
         # exclusion/special id tables in sorted block layout (rebuild-static)
-        pexcl = pspec = None
+        pexcl = pspec = pair_mask = None
         if exclusions is not None and hasattr(exclusions, "excl_table"):
             dt = (self.atom_static.dtype if self.atom_static is not None
                   else coords.dtype)
@@ -411,6 +431,30 @@ class BlockPairFinder:
                               n).reshape(b, BLOCK, w_e).astype(dt)
             pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe],
                               n).reshape(b, BLOCK, w_s).astype(dt)
+            if w_e + w_s > 4:
+                # wide tables (proteins: typically 16 + 16): precompute the
+                # per-slot mask once per rebuild instead of running
+                # w_e + w_s compare rounds per pair slot per STEP in the
+                # kernel (~60% of kernel ops at width 32)
+                order_ext = jnp.concatenate(
+                    [order, jnp.full((1,), n, jnp.int32)])
+                oe2 = jnp.stack([order_ext, order_ext])
+                jid = oe2[:, work_idx][0].reshape(p_max, 1, LANES)
+                ie = exclusions.excl_table[safe].reshape(b, BLOCK, w_e)
+                isp = exclusions.spec_table[safe].reshape(b, BLOCK, w_s)
+                ie_p = ie[flat_i]                       # (P, BLOCK, w_e)
+                isp_p = isp[flat_i]
+                # unrolled compare-or chain: keeps peak memory at a few
+                # (P, BLOCK, LANES) bool buffers instead of one
+                # (P, BLOCK, LANES, w) intermediate
+                m_e = jnp.zeros((p_max, BLOCK, LANES), bool)
+                for w in range(w_e):
+                    m_e = m_e | (ie_p[:, :, w][:, :, None] == jid)
+                m_s = jnp.zeros((p_max, BLOCK, LANES), bool)
+                for w in range(w_s):
+                    m_s = m_s | (isp_p[:, :, w][:, :, None] == jid)
+                pair_mask = (m_e.astype(jnp.int8)
+                             | (m_s.astype(jnp.int8) << 1))
 
         overflow = ((pair_overflow << 20)
                     | (jnp.minimum(j_overflow, 0x3FF) << 10)
@@ -430,7 +474,7 @@ class BlockPairFinder:
                           n_pairs=total_pairs.reshape(1),
                           work_idx=work_idx, j_static=j_static,
                           centers=centers, a_stat=a_stat, pexcl=pexcl,
-                          pspec=pspec, overflow=overflow,
+                          pspec=pspec, pair_mask=pair_mask, overflow=overflow,
                           step_built=jnp.asarray(step_n, jnp.int32))
 
 

@@ -202,10 +202,10 @@ def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
     return e, coef
 
 
-def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic,
+def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic, use_mask,
             # scalar prefetch
             flat_i_ref, row_start_ref, n_items_ref,
-            # inputs
+            # inputs (aexcl/aspec are replaced by a mask tile when use_mask)
             box_ref, cen_ref, ac_ref, as_ref, aexcl_ref, aspec_ref, jc_ref,
             js_ref,
             # outputs
@@ -273,12 +273,19 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic,
                 & (r2 < spec.cut_max * spec.cut_max)
                 & (b_id[None, :] < n_atoms)
                 & (a_id[:, None] < n_atoms))
-        excl = jnp.zeros_like(live)
-        for w in range(w_excl):
-            excl = excl | (b_id[None, :] == aexcl_ref[0, :, w][:, None])
-        special = jnp.zeros_like(live)
-        for w in range(w_spec):
-            special = special | (b_id[None, :] == aspec_ref[0, :, w][:, None])
+        if use_mask:
+            # rebuild-precomputed per-slot mask: bit0 excluded, bit1 special
+            m = aexcl_ref[0].astype(jnp.int32)        # (BLOCK, LANES)
+            excl = (m & 1) != 0
+            special = (m & 2) != 0
+        else:
+            excl = jnp.zeros_like(live)
+            for w in range(w_excl):
+                excl = excl | (b_id[None, :] == aexcl_ref[0, :, w][:, None])
+            special = jnp.zeros_like(live)
+            for w in range(w_spec):
+                special = special | (b_id[None, :]
+                                     == aspec_ref[0, :, w][:, None])
         live = live & ~excl
 
         r2s = jnp.where(live, r2, 1.0)
@@ -423,15 +430,30 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
 
     w_excl = int(exclusions.excl_table.shape[1])
     w_spec = int(exclusions.spec_table.shape[1])
-    pexcl, pspec = blockpairs.pexcl, blockpairs.pspec
-    if pexcl is None or pexcl.shape[2] != w_excl:
-        pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe], n)
-        pexcl = pexcl.reshape(b, BLOCK, w_excl)
-    if pspec is None or pspec.shape[2] != w_spec:
-        pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe], n)
-        pspec = pspec.reshape(b, BLOCK, w_spec)
-    pexcl = pexcl.astype(dtype)
-    pspec = pspec.astype(dtype)
+    use_mask = blockpairs.pair_mask is not None
+    if use_mask:
+        pexcl = blockpairs.pair_mask
+        pspec = jnp.zeros((1, 8), dtype)
+        excl_spec = pl.BlockSpec((1, BLOCK, LANES),
+                                 lambda p, fi, rs, ni: (p, 0, 0))
+        spec_spec = pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
+                                 memory_space=pltpu.SMEM)
+    else:
+        pexcl, pspec = blockpairs.pexcl, blockpairs.pspec
+        if pexcl is None or pexcl.shape[2] != w_excl:
+            pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe],
+                              n)
+            pexcl = pexcl.reshape(b, BLOCK, w_excl)
+        if pspec is None or pspec.shape[2] != w_spec:
+            pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe],
+                              n)
+            pspec = pspec.reshape(b, BLOCK, w_spec)
+        pexcl = pexcl.astype(dtype)
+        pspec = pspec.astype(dtype)
+        excl_spec = pl.BlockSpec((1, BLOCK, w_excl),
+                                 lambda p, fi, rs, ni: (fi[p], 0, 0))
+        spec_spec = pl.BlockSpec((1, BLOCK, w_spec),
+                                 lambda p, fi, rs, ni: (fi[p], 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -445,10 +467,8 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                          lambda p, fi, rs, ni: (fi[p], 0, 0)),
             pl.BlockSpec((1, 4, BLOCK),
                          lambda p, fi, rs, ni: (fi[p], 0, 0)),
-            pl.BlockSpec((1, BLOCK, w_excl),
-                         lambda p, fi, rs, ni: (fi[p], 0, 0)),
-            pl.BlockSpec((1, BLOCK, w_spec),
-                         lambda p, fi, rs, ni: (fi[p], 0, 0)),
+            excl_spec,
+            spec_spec,
             pl.BlockSpec((3, LANES), lambda p, fi, rs, ni: (0, p)),
             pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
         ],
@@ -461,7 +481,7 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         ],
     )
     kernel = partial(_kernel, spec, float(n), w_excl, w_spec, compute_energy,
-                     not hoist_mic)
+                     not hoist_mic, use_mask)
     f4, eng, vir6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
