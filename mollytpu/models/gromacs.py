@@ -23,7 +23,6 @@ from collections import defaultdict
 
 import numpy as np
 import jax.numpy as jnp
-from ..ops.bonded import with_incidence as _with_incidence
 
 from .. import boundary as bnd
 from ..atoms import make_atoms, AtomData
@@ -484,9 +483,7 @@ def system_from_gromacs(gro_path, top_path, nonbonded_method="cutoff",
     sys = System(atoms=atoms, coords=jnp.asarray(coords, dtype),
                  boundary=boundary,
                  velocities=jnp.asarray(vels, dtype) if velocities_from_gro else None,
-                 pairwise_inters=pairwise,
-        specific_lists=tuple(_with_incidence(sl, n)
-                             for sl in specific_lists),
+                 pairwise_inters=pairwise, specific_lists=tuple(specific_lists),
                  general_inters=tuple(general), exclusions=exclusions,
                  neighbor_finder=nf, molecule_ids=mol_ids, n_molecules=n_mol,
                  constraints=constraints)

@@ -21,7 +21,6 @@ import warnings
 import numpy as np
 import jax
 import jax.numpy as jnp
-from ..ops.bonded import with_incidence as _with_incidence
 
 from .. import boundary as bnd
 from ..atoms import make_atoms, AtomData
@@ -606,9 +605,7 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
     sys = System(
         atoms=atoms, coords=coords, boundary=boundary,
         velocities=velocities,
-        pairwise_inters=pairwise,
-        specific_lists=tuple(_with_incidence(sl, n)
-                             for sl in specific_lists),
+        pairwise_inters=pairwise, specific_lists=tuple(specific_lists),
         general_inters=tuple(general), exclusions=exclusions,
         neighbor_finder=nf, molecule_ids=mol_ids, n_molecules=n_mol,
         virtual_sites=vsites)

@@ -40,11 +40,6 @@ class SpecificList:
     kind: str = dataclasses.field(metadata={"static": True})
     atom_idx: jax.Array = None
     params: Dict[str, jax.Array] = None
-    # optional per-atom incidence table (N, M) of flat slot indices
-    # (term * arity + slot, pad = K * arity): lets force accumulation run as
-    # a batched gather-sum instead of a scatter-add (TPU scatter is ~18
-    # ns/element sequential). Attach via with_incidence().
-    atom_terms: jax.Array = None
 
     @property
     def n_terms(self) -> int:
@@ -56,29 +51,8 @@ class SpecificList:
 
 
 jax.tree_util.register_dataclass(
-    SpecificList, data_fields=["atom_idx", "params", "atom_terms"],
-    meta_fields=["kind"]
+    SpecificList, data_fields=["atom_idx", "params"], meta_fields=["kind"]
 )
-
-
-def with_incidence(slist: SpecificList, n_atoms: int) -> SpecificList:
-    """Attach the per-atom incidence table (host-side, at setup)."""
-    if slist.n_terms == 0:
-        return slist
-    import numpy as np
-    idx = np.asarray(jax.device_get(slist.atom_idx))
-    k, a = idx.shape
-    flat = idx.reshape(-1)
-    counts = np.zeros(n_atoms, dtype=np.int32)
-    for at in flat:
-        counts[at] += 1
-    m = max(1, int(counts.max()))
-    table = np.full((n_atoms, m), k * a, dtype=np.int32)
-    slot = np.zeros(n_atoms, dtype=np.int32)
-    for pos, at in enumerate(flat):
-        table[at, slot[at]] = pos
-        slot[at] += 1
-    return dataclasses.replace(slist, atom_terms=jnp.asarray(table))
 
 
 def _angle(v1, v2):
@@ -290,8 +264,7 @@ def _pad_single_term(slist: SpecificList) -> SpecificList:
         k: jnp.concatenate([v, jnp.zeros_like(v) if k == "weight" else v])
         for k, v in slist.params.items()
     }
-    return dataclasses.replace(slist, atom_idx=idx, params=params,
-                               atom_terms=None)
+    return dataclasses.replace(slist, atom_idx=idx, params=params)
 
 
 def specific_energy(slist: SpecificList, coords, boundary):
@@ -334,20 +307,13 @@ def specific_forces(slist: SpecificList, coords, boundary, needs_virial=False):
     grads = jax.vmap(jax.grad(one))(gathered, slist.params)  # (K, A, 3)
     term_forces = -grads
     flat_f = term_forces.reshape(-1, coords.shape[-1])
-    if slist.atom_terms is not None:
-        # incidence gather-sum (scatter-free): each atom pulls its slots
-        fp = jnp.concatenate(
-            [flat_f, jnp.zeros((1, flat_f.shape[1]), flat_f.dtype)])
-        vals = fp.T[:, slist.atom_terms]                 # (3, N', M)
-        forces = jnp.sum(vals, axis=2).T
-        if forces.shape[0] != n:   # table built for a different atom count
-            forces = jnp.zeros((n, flat_f.shape[1]), flat_f.dtype
-                               ).at[slist.atom_idx.reshape(-1)].add(flat_f)
-    else:
-        flat_idx = slist.atom_idx.reshape(-1)
-        # .at[].add — jax.ops.segment_sum lowers ~400x slower on TPU
-        forces = jnp.zeros((n, flat_f.shape[1]), flat_f.dtype
-                           ).at[flat_idx].add(flat_f)
+    flat_idx = slist.atom_idx.reshape(-1)
+    # .at[].add: one scatter of K*arity rows. Measured FASTER on TPU than a
+    # per-atom incidence gather-sum (0.58 vs 2.7 ms on the 6mrr bonded set —
+    # the (3, N, M) gather lowers poorly), and ~400x faster than
+    # jax.ops.segment_sum.
+    forces = jnp.zeros((n, flat_f.shape[1]), flat_f.dtype).at[flat_idx].add(
+        flat_f)
     if needs_virial:
         ref = gathered[:, :1, :]
         rel = jax.vmap(jax.vmap(boundary.displacement, in_axes=(0, 0)),

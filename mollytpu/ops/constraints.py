@@ -225,27 +225,68 @@ class SHAKERattle:
         return out
 
     def _cluster_velocities(self, coords, vels, inv_m, boundary):
+        # RATTLE is a LINEAR projection: solve the <=3x3 per-cluster
+        # coupling system C k = r exactly (closed form, vectorized over
+        # clusters) instead of iterating sweeps.
         out = vels
         for b in self.clusters:
             pat = b.pattern
+            mc = len(pat)
             xc = self._gather_rows(coords, b.atoms)
             v_in = self._gather_rows(vels, b.atoms)
             im = inv_m[b.atoms]
             drs = [boundary.displacement(xc[:, sj], xc[:, si])
                    for (si, sj) in pat]
-            r2s = [jnp.sum(d * d, axis=1) for d in drs]
+            # residuals r_s = (v_i - v_j) . dr_s
+            r = [jnp.sum((v_in[:, si] - v_in[:, sj]) * drs[s], axis=1)
+                 for s, (si, sj) in enumerate(pat)]
 
-            def sweep(_, v):
-                for s, (si, sj) in enumerate(pat):
-                    dv = v[:, si] - v[:, sj]
-                    k = self.omega * jnp.sum(dv * drs[s], axis=1) / (
-                        (im[:, si] + im[:, sj])
-                        * jnp.maximum(r2s[s], 1e-12))
-                    v = v.at[:, si].add(-(k * im[:, si])[:, None] * drs[s])
-                    v = v.at[:, sj].add((k * im[:, sj])[:, None] * drs[s])
-                return v
+            def sigma(a, t):
+                ti, tj = pat[t]
+                return 1.0 if a == ti else (-1.0 if a == tj else 0.0)
 
-            v = jax.lax.fori_loop(0, self.vel_iters, sweep, v_in)
+            # C_st = dr_s . dr_t (sigma(i_s,t) im_i - sigma(j_s,t) im_j)
+            C = [[None] * mc for _ in range(mc)]
+            for s, (si, sj) in enumerate(pat):
+                for t in range(mc):
+                    w_i, w_j = sigma(si, t), sigma(sj, t)
+                    if w_i == 0.0 and w_j == 0.0:
+                        C[s][t] = jnp.zeros(xc.shape[0], xc.dtype)
+                        continue
+                    dot = jnp.sum(drs[s] * drs[t], axis=1)
+                    C[s][t] = dot * (w_i * im[:, si] - w_j * im[:, sj])
+
+            if mc == 1:
+                ks = [r[0] / jnp.where(jnp.abs(C[0][0]) > 1e-12,
+                                       C[0][0], 1e-12)]
+            elif mc == 2:
+                det = C[0][0] * C[1][1] - C[0][1] * C[1][0]
+                det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+                ks = [(r[0] * C[1][1] - r[1] * C[0][1]) / det,
+                      (C[0][0] * r[1] - C[1][0] * r[0]) / det]
+            else:
+                a, bb, c = C[0]
+                d, e, f = C[1]
+                g, h, i = C[2]
+                co00 = e * i - f * h
+                co01 = c * h - bb * i
+                co02 = bb * f - c * e
+                co10 = f * g - d * i
+                co11 = a * i - c * g
+                co12 = c * d - a * f
+                co20 = d * h - e * g
+                co21 = bb * g - a * h
+                co22 = a * e - bb * d
+                det = a * co00 + bb * co10 + c * co20
+                det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+                ks = [(r[0] * co00 + r[1] * co01 + r[2] * co02) / det,
+                      (r[0] * co10 + r[1] * co11 + r[2] * co12) / det,
+                      (r[0] * co20 + r[1] * co21 + r[2] * co22) / det]
+
+            v = v_in
+            for s, (si, sj) in enumerate(pat):
+                v = v.at[:, si].add(-(ks[s] * im[:, si])[:, None] * drs[s])
+                v = v.at[:, sj].add((ks[s] * im[:, sj])[:, None] * drs[s])
             dv = (v - v_in).reshape(-1, vels.shape[1])
             dvp = jnp.concatenate(
                 [dv, jnp.zeros((1, dv.shape[1]), dv.dtype)])
