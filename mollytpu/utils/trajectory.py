@@ -28,7 +28,7 @@ class TrajectoryWriter:
         self.n_written = 0
         self._fh = None
         fmt = self.path.rsplit(".", 1)[-1].lower()
-        if fmt not in ("pdb", "xyz", "dcd", "trr", "mol2"):
+        if fmt not in ("pdb", "xyz", "dcd", "trr", "mol2", "xtc"):
             raise ValueError(f"unsupported trajectory format .{fmt}")
         self.fmt = fmt
 
@@ -44,6 +44,12 @@ class TrajectoryWriter:
                             if sys.velocities is not None else None, step_n)
         elif self.fmt == "mol2":
             self._write_mol2(coords)
+        elif self.fmt == "xtc":
+            from .xtc import write_xtc_frame
+            bm = np.asarray(sys.boundary.box_matrix())
+            with open(self.path, "ab") as f:
+                write_xtc_frame(f, coords, bm, int(step_n),
+                                float(getattr(sys, "time", 0.0) or 0.0))
         else:
             self._write_dcd(coords, box)
         self.n_written += 1
@@ -266,7 +272,8 @@ class EnsembleSystem:
         fmt = path.rsplit(".", 1)[-1].lower()
         reader = {"xyz": read_xyz_frames, "pdb": read_pdb_frames,
                   "dcd": read_dcd_frames,
-                  "trr": read_trr_frames}[fmt]
+                  "trr": read_trr_frames,
+                  "xtc": read_xtc_coords}[fmt]
         return cls(sys=sys, frames=reader(path))
 
     def frame(self, t):
@@ -276,3 +283,8 @@ class EnsembleSystem:
 
     def __len__(self):
         return self.frames.shape[0]
+
+
+def read_xtc_coords(path):
+    from .xtc import read_xtc_frames
+    return np.stack([f[0] for f in read_xtc_frames(path)])
