@@ -481,3 +481,33 @@ class BlockPairFinder:
 _register(BlockPairFinder, ["dist_cutoff", "atom_static"],
           ["grid_dims", "sort_dims", "n_pad", "max_pairs", "max_jlist",
            "max_work_items", "n_steps", "hoist_mic"])
+
+
+def decode_overflow(ov):
+    """Turn the packed overflow word into cause-specific guidance.
+
+    Bit layout (see `find`): bit 30 = hoisted-MIC extent guard; bits 20+ =
+    block-pair overflow; bits 10-19 = per-block j-list overflow; bits 0-9 =
+    work-item overflow. Returns a list of human-readable causes."""
+    ov = int(ov)
+    causes = []
+    if ov & (1 << 30):
+        causes.append(
+            "hoisted-MIC extent guard: a block AABB plus 2*cutoff exceeds a "
+            "periodic box side (box shrank or blocks grew); re-setup the "
+            "finder for the current box or use hoist_mic=False")
+    pair = (ov >> 20) & 0x3FF
+    if pair:
+        causes.append(f"block-pair list overflow by >= {pair}; raise "
+                      "max_pairs (BlockPairFinder.setup max_nbr_blocks)")
+    jl = (ov >> 10) & 0x3FF
+    if jl:
+        causes.append(f"per-block j-list overflow by >= {jl}; raise "
+                      "max_jlist")
+    wk = ov & 0x3FF
+    if wk:
+        causes.append(f"work-item list overflow by >= {wk}; raise "
+                      "max_work_items")
+    if not causes:
+        causes.append(f"overflow word {ov}")
+    return causes

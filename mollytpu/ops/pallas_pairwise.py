@@ -255,7 +255,9 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic, use_mask,
     dtype = ac_ref.dtype
 
     # first work item of this i-block initializes its force accumulator
-    # (padding items carry flat_i = 0 but p >= n_items > row_start[0] = 0)
+    # (padding items carry flat_i = last live i-block, so output blocks are
+    # visited in one contiguous run and padding never re-inits or revisits
+    # an earlier block)
     @pl.when(p == row_start_ref[i])
     def _():
         f_ref[...] = jnp.zeros_like(f_ref)

@@ -171,9 +171,14 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
         if neighbors is not None:
             ov = int(jax.device_get(neighbors.overflow))
             if ov > 0:
+                from ..ops.blockpairs import BlockPairFinder, decode_overflow
+                if isinstance(finder, BlockPairFinder):
+                    causes = "; ".join(decode_overflow(ov))
+                else:
+                    causes = (f"neighbor list overflow by {ov}; increase "
+                              "max_neighbors / cell_capacity on the finder")
                 raise RuntimeError(
-                    f"neighbor list overflow by {ov} at step {step_n}; increase "
-                    "max_neighbors / cell_capacity on the neighbor finder")
+                    f"neighbor finder overflow at step {step_n}: {causes}")
         log_now(step_n)
 
     logs = {k: _stack(v) for k, v in logs.items()}

@@ -207,6 +207,7 @@ def compress_coords(coords, precision=1000.0):
     w = _BitWriter()
     lip = [list(map(int, row)) for row in ints]
     prevcoord = [0, 0, 0]
+    prevrun = -1   # libxdrfile: flag bit encodes "run-length changed"
     i = 0
     while i < n:
         thiscoord = lip[i][:]
@@ -254,17 +255,27 @@ def compress_coords(coords, precision=1000.0):
                     abs(lip[i][d] - prevcoord[d]) < smallnum
                     for d in range(3)):
                 is_small = 1
-        if run > 0 or is_smaller != 0:
+        # libxdrfile semantics: flag=1 signals "run-length changed (or
+        # smallidx adjustment)"; the run smallints are ALWAYS written
+        # whenever run > 0, even under flag=0 (run persisted from before).
+        if run != prevrun or is_smaller != 0:
+            prevrun = run
             w.bits(1, 1)
             w.bits(5, run + is_smaller + 1)
-            for k in range(0, run, 3):
-                w.ints(smallidx, sizesmall, runbuf[k:k + 3])
         else:
             w.bits(1, 0)
+        for k in range(0, run, 3):
+            w.ints(smallidx, sizesmall, runbuf[k:k + 3])
         if is_smaller:
+            # libxdrfile incremental update (note smaller -> 0 at FIRSTIDX)
             smallidx += is_smaller
-            smaller = MAGICINTS[max(FIRSTIDX, smallidx - 1)] // 2
-            smallnum = MAGICINTS[smallidx] // 2
+            if is_smaller < 0:
+                smallnum = smaller
+                smaller = (MAGICINTS[smallidx - 1] // 2
+                           if smallidx > FIRSTIDX else 0)
+            else:
+                smaller = smallnum
+                smallnum = MAGICINTS[smallidx] // 2
             sizesmall = [MAGICINTS[smallidx]] * 3
 
     payload = w.flush()
@@ -291,6 +302,7 @@ def decompress_coords(n, minint, maxint, smallidx0, payload,
     r = _BitReader(payload)
     out = np.zeros((n, 3), dtype=np.float64)
     i = 0
+    run = 0   # persists across atoms: flag==0 means "run-length unchanged"
     while i < n:
         if bitsize == 0:
             thiscoord = [r.bits(bitsizeint[d]) for d in range(3)]
@@ -300,7 +312,6 @@ def decompress_coords(n, minint, maxint, smallidx0, payload,
         prevcoord = thiscoord[:]
         flag = r.bits(1)
         is_smaller = 0
-        run = 0
         if flag:
             v = r.bits(5)
             is_smaller = v % 3
@@ -327,8 +338,13 @@ def decompress_coords(n, minint, maxint, smallidx0, payload,
             i += 1
         if is_smaller:
             smallidx += is_smaller
-            smaller = MAGICINTS[max(FIRSTIDX, smallidx - 1)] // 2
-            smallnum = MAGICINTS[smallidx] // 2
+            if is_smaller < 0:
+                smallnum = smaller
+                smaller = (MAGICINTS[smallidx - 1] // 2
+                           if smallidx > FIRSTIDX else 0)
+            else:
+                smaller = smallnum
+                smallnum = MAGICINTS[smallidx] // 2
             sizesmall = [MAGICINTS[smallidx]] * 3
     return out
 

@@ -82,6 +82,81 @@ def test_xtc_roundtrip(tmp_path):
                          - np.rint((coords + 0.01) * 1000) / 1000)) < 1e-9
 
 
+def test_xtc_run_persistence_semantics():
+    """GROMACS/libxdrfile semantics: the per-base-atom flag bit means
+    "run-length changed", NOT "a run follows". For a stream of identical
+    run lengths the writer must emit flag=0 while still writing the run
+    smallints, and the reader must persist the run across atoms.
+
+    Walks the emitted bitstream independently to count flag=1 events: with
+    correct semantics a constant-run stream has far fewer flag=1 events
+    than base atoms (a writer that re-flags every run would emit one per
+    base atom and be unreadable by GROMACS/VMD/MDAnalysis)."""
+    import numpy as np
+    from mollytpu.utils import xtc as X
+
+    # rigid water-like triplets with IDENTICAL geometry -> constant run=6
+    rng = np.random.RandomState(0)
+    o = rng.uniform(0.5, 3.5, (200, 3))
+    d1 = np.array([0.06, 0.02, -0.01])
+    d2 = np.array([-0.03, 0.05, 0.04])
+    coords = np.stack([o, o + d1, o + d2], axis=1).reshape(-1, 3)
+    n = coords.shape[0]
+    minint, maxint, sidx, payload, bitsize, bitsizeint, sizeint = \
+        X.compress_coords(coords, 1000.0)
+
+    # independent walk of the stream, mirroring libxdrfile's reader control
+    # flow, counting flag events
+    r = X._BitReader(payload)
+    smallidx = sidx
+    sizesmall = [X.MAGICINTS[smallidx]] * 3
+    smaller = X.MAGICINTS[max(X.FIRSTIDX, smallidx - 1)] // 2
+    smallnum = X.MAGICINTS[smallidx] // 2
+    i = 0
+    run = 0
+    n_flags = 0
+    n_base = 0
+    saw_flag0_with_run = False
+    while i < n:
+        if bitsize == 0:
+            for d in range(3):
+                r.bits(bitsizeint[d])
+        else:
+            r.ints(bitsize, sizeint)
+        n_base += 1
+        flag = r.bits(1)
+        is_smaller = 0
+        if flag:
+            n_flags += 1
+            v = r.bits(5)
+            is_smaller = v % 3
+            run = v - is_smaller
+            is_smaller -= 1
+        elif run > 0:
+            saw_flag0_with_run = True
+        i += 1
+        for k in range(0, run, 3):
+            r.ints(smallidx, sizesmall)
+            i += 1
+        if is_smaller:
+            smallidx += is_smaller
+            if is_smaller < 0:
+                smallnum = smaller
+                smaller = (X.MAGICINTS[smallidx - 1] // 2
+                           if smallidx > X.FIRSTIDX else 0)
+            else:
+                smaller = smallnum
+                smallnum = X.MAGICINTS[smallidx] // 2
+            sizesmall = [X.MAGICINTS[smallidx]] * 3
+    assert i == n
+    assert saw_flag0_with_run, "writer never persisted a run under flag=0"
+    assert n_flags < n_base // 2
+
+    # and the reader round-trips that stream exactly
+    out = X.decompress_coords(n, minint, maxint, sidx, payload, 1000.0)
+    assert np.array_equal(np.rint(coords * 1000.0), np.rint(out * 1000.0))
+
+
 def test_xtc_trajectory_writer(tmp_path):
     import jax, numpy as np
     import jax.numpy as jnp
