@@ -179,13 +179,24 @@ class ForceField:
         self.coulomb14scale = 1.0 / 1.2
         self.lj14scale = 0.5
         self.charge_from_residue = False
+        self._content_hash = None   # sha256 over loaded XML bytes (cache key)
         for p in paths:
             self.load(p)
         self._index()
 
+    @property
+    def fingerprint(self):
+        h = getattr(self, "_content_hash", None)
+        return h.hexdigest() if h is not None else ""
+
     # -- parsing -------------------------------------------------------------
 
     def load(self, path):
+        import hashlib
+        if getattr(self, "_content_hash", None) is None:
+            self._content_hash = hashlib.sha256()
+        with open(path, "rb") as fh:
+            self._content_hash.update(fh.read())
         tree = ET.parse(path)
         root = tree.getroot()
         for inc in root.findall("Include"):
@@ -349,6 +360,10 @@ class ForceField:
             self._templates_by_nameset.setdefault(t.atom_names, []).append(t.name)
 
     def nonbonded_params(self, type_name):
+        return self._memo(("nb", type_name),
+                          lambda: self._nonbonded_params(type_name))
+
+    def _nonbonded_params(self, type_name):
         e = self._nb_by_type.get(type_name)
         if e is None:
             e = self._nb_by_class.get(self.type_to_class.get(type_name, ""))
@@ -397,7 +412,19 @@ class ForceField:
         raise KeyError(
             f"no residue template matches {res_name} with atoms {sorted(atom_names)}")
 
+    def _memo(self, key, fn):
+        # distinct type tuples number in the hundreds while terms number in
+        # the tens of thousands, so memoizing the linear rule scans turns
+        # minutes of setup into milliseconds
+        cache = self.__dict__.setdefault("_resolve_cache", {})
+        if key not in cache:
+            cache[key] = fn()
+        return cache[key]
+
     def resolve_bond(self, t1, t2):
+        return self._memo(("b", t1, t2), lambda: self._resolve_bond(t1, t2))
+
+    def _resolve_bond(self, t1, t2):
         best = None
         for r in self.bond_rules:
             if ((r.p1.matches(t1, self.type_to_class) and r.p2.matches(t2, self.type_to_class))
@@ -406,6 +433,10 @@ class ForceField:
         return best
 
     def resolve_angle(self, t1, t2, t3):
+        return self._memo(("a", t1, t2, t3),
+                          lambda: self._resolve_angle(t1, t2, t3))
+
+    def _resolve_angle(self, t1, t2, t3):
         best = None
         for r in self.angle_rules:
             if r.p2.matches(t2, self.type_to_class) and (
@@ -415,6 +446,10 @@ class ForceField:
         return best
 
     def resolve_proper(self, t1, t2, t3, t4):
+        return self._memo(("p", t1, t2, t3, t4),
+                          lambda: self._resolve_proper(t1, t2, t3, t4))
+
+    def _resolve_proper(self, t1, t2, t3, t4):
         """Exact match wins immediately; otherwise most specific wildcard
         match, trying forward and reversed (force_field.jl:183-232)."""
         ttc = self.type_to_class
@@ -432,6 +467,10 @@ class ForceField:
         return best
 
     def resolve_improper(self, tc, t2, t3, t4):
+        return self._memo(("i", tc, t2, t3, t4),
+                          lambda: self._resolve_improper(tc, t2, t3, t4))
+
+    def _resolve_improper(self, tc, t2, t3, t4):
         """Central atom first; scan the six peripheral permutations
         (force_field.jl:235-295). Returns (rule, perm) where perm maps rule
         positions 2..4 to source positions (1-indexed like the reference)."""
@@ -461,6 +500,10 @@ class ForceField:
         return (best, bestperm) if best is not None else (None, None)
 
     def resolve_cmap(self, t1, t2, t3, t4, t5):
+        return self._memo(("c", t1, t2, t3, t4, t5),
+                          lambda: self._resolve_cmap(t1, t2, t3, t4, t5))
+
+    def _resolve_cmap(self, t1, t2, t3, t4, t5):
         ttc = self.type_to_class
         best, bestspec = None, -1
         for r in self.cmap_rules:

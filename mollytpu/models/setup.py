@@ -245,6 +245,42 @@ def _improper_ordering(ff, rule, perm, c, j, k, l, struct, type_of):
     return (j, k, c, l)
 
 
+BUILD_CACHE_VERSION = 1
+
+
+def _models_code_fingerprint():
+    """Hash of the models/ sources: a cached build is invalidated whenever
+    the setup pipeline's code changes (stale pickles of evolving dataclasses
+    are caught by the load-time try/except anyway; this avoids even trying)."""
+    import hashlib
+    import os as _os
+    h = hashlib.sha256()
+    d = _os.path.dirname(__file__)
+    for f in sorted(_os.listdir(d)):
+        if f.endswith(".py"):
+            with open(_os.path.join(d, f), "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()
+
+
+def _build_cache_path(path, ff, kwargs):
+    import hashlib
+    import os as _os
+    cache_dir = _os.environ.get(
+        "MOLLYTPU_BUILD_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "mollytpu"))
+    if not cache_dir or cache_dir in ("0", "off", "none"):
+        return None
+    h = hashlib.sha256()
+    h.update(b"sysbuild-v%d;" % BUILD_CACHE_VERSION)
+    with open(path, "rb") as fh:
+        h.update(fh.read())
+    h.update(getattr(ff, "fingerprint", "").encode())
+    h.update(repr(sorted((k, str(v)) for k, v in kwargs.items())).encode())
+    h.update(_models_code_fingerprint().encode())
+    return _os.path.join(cache_dir, h.hexdigest()[:32] + ".sysb")
+
+
 def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
                     dist_neighbors=1.2, neighbor_n_steps=10,
                     approximate_pme=True, pme_error_tol=0.0005,
@@ -253,14 +289,87 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
                     constraint_algorithm="shake",
                     hydrogen_mass=None, center_coords=False,
                     neighbor_finder="cell", dispersion_correction=True,
-                    implicit_solvent=None, implicit_solvent_kwargs=None):
+                    implicit_solvent=None, implicit_solvent_kwargs=None,
+                    build_cache=True):
     """Build a System from a PDB file and a ForceField.
 
     nonbonded_method: "cutoff" (LJ truncation + reaction field), "pme"
     (LJ truncation + CoulombEwald real space + PME reciprocal), or "none"
     (plain LJ + Coulomb, no cutoff — vacuum). Reference parity:
     System(coord_file, ff; nonbonded_method), setup.jl:430-533.
+
+    Builds are cached on disk (MOLLYTPU_BUILD_CACHE dir, default
+    ~/.cache/mollytpu; set to "off" or build_cache=False to disable), keyed
+    by the PDB bytes, force-field content, options, and the models/ code.
     """
+    import pickle
+    import os as _os
+    cache_path = None
+    if build_cache and velocities is None:
+        kwargs = dict(
+            nonbonded_method=nonbonded_method, dist_cutoff=dist_cutoff,
+            dist_neighbors=dist_neighbors, neighbor_n_steps=neighbor_n_steps,
+            approximate_pme=approximate_pme, pme_error_tol=pme_error_tol,
+            solvent_dielectric=solvent_dielectric, dtype=jnp.dtype(dtype).name,
+            constraints=constraints, rigid_water=rigid_water,
+            constraint_algorithm=constraint_algorithm,
+            hydrogen_mass=hydrogen_mass, center_coords=center_coords,
+            neighbor_finder=neighbor_finder,
+            dispersion_correction=dispersion_correction,
+            implicit_solvent=implicit_solvent,
+            implicit_solvent_kwargs=implicit_solvent_kwargs)
+        try:
+            cache_path = _build_cache_path(path, ff, kwargs)
+        except Exception:
+            cache_path = None
+        if cache_path and _os.path.exists(cache_path):
+            try:
+                with open(cache_path, "rb") as fh:
+                    sys = pickle.load(fh)
+                out = jax.tree_util.tree_map(jnp.asarray, sys)
+                # atom_data is a host-side sidecar outside the pytree;
+                # tree_map rebuilds the dataclass without it
+                object.__setattr__(out, "atom_data",
+                                   getattr(sys, "atom_data", None))
+                return out
+            except Exception:
+                pass  # stale/corrupt cache: rebuild
+    sys = _system_from_pdb_impl(
+        path, ff, nonbonded_method=nonbonded_method, dist_cutoff=dist_cutoff,
+        dist_neighbors=dist_neighbors, neighbor_n_steps=neighbor_n_steps,
+        approximate_pme=approximate_pme, pme_error_tol=pme_error_tol,
+        solvent_dielectric=solvent_dielectric, dtype=dtype,
+        velocities=velocities, constraints=constraints,
+        rigid_water=rigid_water, constraint_algorithm=constraint_algorithm,
+        hydrogen_mass=hydrogen_mass, center_coords=center_coords,
+        neighbor_finder=neighbor_finder,
+        dispersion_correction=dispersion_correction,
+        implicit_solvent=implicit_solvent,
+        implicit_solvent_kwargs=implicit_solvent_kwargs)
+    if cache_path:
+        try:
+            _os.makedirs(_os.path.dirname(cache_path), exist_ok=True)
+            tmp = cache_path + ".tmp%d" % _os.getpid()
+            sys_host = jax.device_get(sys)
+            object.__setattr__(sys_host, "atom_data",
+                               getattr(sys, "atom_data", None))
+            with open(tmp, "wb") as fh:
+                pickle.dump(sys_host, fh)
+            _os.replace(tmp, cache_path)
+        except Exception:
+            pass
+    return sys
+
+
+def _system_from_pdb_impl(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
+                    dist_neighbors=1.2, neighbor_n_steps=10,
+                    approximate_pme=True, pme_error_tol=0.0005,
+                    solvent_dielectric=78.3, dtype=jnp.float32,
+                    velocities=None, constraints="none", rigid_water=False,
+                    constraint_algorithm="shake",
+                    hydrogen_mass=None, center_coords=False,
+                    neighbor_finder="cell", dispersion_correction=True,
+                    implicit_solvent=None, implicit_solvent_kwargs=None):
     struct = read_pdb(path)
     n = struct.n_atoms
 
@@ -589,8 +698,6 @@ def system_from_pdb(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
             nf = DistanceNeighborFinder(dist_cutoff=float(dist_neighbors),
                                         n_steps=neighbor_n_steps)
 
-    max_excl = max((len([p for p in excl_pairs if g in p]) for g in range(n)),
-                   default=0)
     exclusions = Exclusions.build(
         n, excl_pairs, spec_pairs,
         max_excl=_next8(_max_partners(excl_pairs, n)),

@@ -89,6 +89,13 @@ _register(BlockPairs,
            "pspec", "pair_mask", "overflow", "step_built"])
 
 
+@jax.jit
+def _trial_find(finder, coords, boundary):
+    """Jitted setup-time trial build (eager per-op dispatch of the block
+    pipeline takes minutes on a 1-core CPU host at protein sizes)."""
+    return finder.find(coords, boundary)
+
+
 @dataclasses.dataclass(frozen=True)
 class BlockPairFinder:
     """Static config for the cluster-pair build.
@@ -190,7 +197,7 @@ class BlockPairFinder:
                      max_pairs=max_pairs, max_jlist=max_jlist,
                      n_steps=n_steps, hoist_mic=hoist_mic)
         if coords is not None:
-            trial = finder.find(coords, boundary)
+            trial = _trial_find(finder, coords, boundary)
             pair_over = int(jax.device_get(trial.overflow)) >> 20
             if pair_over > 0:
                 # pair list truncated -> jcount is an underestimate; retry
@@ -200,7 +207,7 @@ class BlockPairFinder:
                         n_blocks * n_blocks,
                         finder.max_pairs + pair_over
                         + margin_blocks * n_blocks))
-                trial = finder.find(coords, boundary)
+                trial = _trial_find(finder, coords, boundary)
             true_pairs = int(jax.device_get(trial.n_pairs[0]))
             sized_p = int(true_pairs * 1.08) + n_blocks
             finder = dataclasses.replace(
