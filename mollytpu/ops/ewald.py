@@ -59,13 +59,20 @@ def _smooth_size(n):
     return n
 
 
-def pme_mesh_dims(side_lengths, alpha, error_tol):
-    """ceil(2 alpha L / (3 tol^(1/5))), min 6, rounded up to FFT-smooth
-    (reference: pme_params, ewald.jl:479-482)."""
+def pme_mesh_dims(side_lengths, alpha, error_tol, smooth=True):
+    """ceil(2 alpha L / (3 tol^(1/5))), min 6 (reference: pme_params,
+    ewald.jl:479-482).
+
+    smooth=True additionally rounds up to FFT-smooth sizes (error only
+    decreases; prime-sized FFTs are slow on TPU). smooth=False reproduces
+    the reference/OpenMM dims exactly — required for the 1e-7-force golden
+    gate, where a one-cell grid difference shows up as ~0.1 kJ/mol/nm of
+    discretization mismatch."""
     dims = []
     for L in np.asarray(side_lengths, dtype=np.float64):
         s = int(math.ceil(2.0 * alpha * float(L) / (3.0 * error_tol ** 0.2)))
-        dims.append(_smooth_size(max(s, 6)))
+        s = max(s, 6)
+        dims.append(_smooth_size(s) if smooth else s)
     return tuple(dims)
 
 
@@ -273,11 +280,12 @@ class PME(GeneralInteraction):
     @classmethod
     def setup(cls, boundary, dist_cutoff=1.0, error_tol=0.0005, order=5,
               excl_pairs=None, epsilon_r=1.0, dtype=jnp.float32,
-              scheduler=None, mesh_dims=None):
+              scheduler=None, mesh_dims=None, smooth_dims=True):
         alpha = ewald_error_alpha(dist_cutoff, error_tol)
         sides = np.asarray(jax.device_get(boundary.side_lengths))
         if mesh_dims is None:
-            mesh_dims = pme_mesh_dims(sides, alpha, error_tol)
+            mesh_dims = pme_mesh_dims(sides, alpha, error_tol,
+                                      smooth=smooth_dims)
         mods = bspline_moduli(order, mesh_dims)
         if excl_pairs is None or len(excl_pairs) == 0:
             ei = jnp.zeros((0,), jnp.int32)

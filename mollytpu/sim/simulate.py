@@ -131,6 +131,15 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
     nv_interval = needs_virial_interval(getattr(simulator, "coupling", ()), lset)
     needs_virial = nv_interval > 0
 
+    # reference parity (simulators.jl:563): when starting a fresh run, CM
+    # motion is removed BEFORE the first step (OpenMM's CMMotionRemover acts
+    # at the start of every step; end-of-step removal inside our integrators
+    # covers the rest of the schedule)
+    if init_step == 0 and getattr(simulator, "remove_cm", False):
+        from ..spatial import remove_cm_motion
+        sys = sys.update(velocities=remove_cm_motion(sys.masses,
+                                                     sys.velocities))
+
     if neighbors is None:
         neighbors = find_neighbors(sys.neighbor_finder, sys.coords, sys.boundary,
                                    sys.exclusions, init_step)

@@ -4,13 +4,12 @@ Port of the reference's test strategy (/root/reference/test/protein.jl:
 264-330): per-term and total energies/forces against the checked-in OpenMM
 outputs (ff99SBildn + TIP3P, cutoff reaction field and PME).
 
-Tolerances: bonded/cutoff terms match at the reference's thresholds
-(1e-5 kJ/mol energy, 1e-7 force). PME energy is gated at 0.15 kJ/mol: our
-SPME implementation is convention-independent of OpenMM's, and at the shared
-error_tol=5e-4 both sit ~0.3-0.4 kJ/mol from the converged answer (ours
-slightly closer — measured 0.31 vs 0.41); bit-identical mesh conventions are
-not replicated. The reference's own all_pme (approximate erfc) tolerance is
-0.2 kJ/mol.
+Tolerances: the reference's thresholds throughout (1e-5 kJ/mol energy, 1e-7
+force), including exact PME — with OpenMM's exact mesh dims and exact erfc
+our SPME reproduces the Reference platform to float64 accuracy (measured
+2e-11 force). The 100-step trajectory gate adjudicates the integrated
+dynamics (CM-removal schedule, constraint order, force timing) at the
+reference's 1e-10 nm / 1e-7 nm/ps thresholds (protein.jl:290-330).
 """
 
 import os
@@ -107,7 +106,9 @@ def test_pme_vs_openmm(ff):
                               dtype=jnp.float64, dist_neighbors=1.02)
     nbs = mt.find_neighbors(sys_pme.neighbor_finder, sys_pme.coords,
                             sys_pme.boundary, sys_pme.exclusions)
-    check(sys_pme, nbs, "all_pme_exact", etol=0.15, ftol=0.25)
+    # reference tolerances (protein.jl:264-275): exact mesh dims + exact
+    # erfc reproduce OpenMM's PME discretization to float64 accuracy
+    check(sys_pme, nbs, "all_pme_exact", etol=1e-5, ftol=1e-7)
 
 
 def test_starting_velocities_energies(ff):
@@ -267,3 +268,36 @@ def test_openmm_refs_neighbor_path():
              for line in open(DATA + f"/openmm_refs/{name}.dat")])
         d = np.linalg.norm(f - gold, axis=1)
         assert d.mean() < 0.15, (name, d.mean())
+
+
+def test_trajectory_100steps_vs_openmm(ff):
+    """The reference's strongest end-to-end fidelity gate (protein.jl:
+    290-330): 100 velocity-Verlet steps (dt = 0.5 fs) of solvated 6mrr with
+    exact PME from the checked-in 300 K velocities must reproduce OpenMM's
+    final coordinates to 1e-10 nm and velocities to 1e-7 nm/ps. This
+    adjudicates the integrated dynamics — CM-removal schedule, force timing,
+    wrap placement — which single-point gates cannot."""
+    from mollytpu.sim.simulate import simulate
+    from mollytpu.spatial import kinetic_energy, temperature
+
+    vels = jnp.asarray(np.loadtxt(f"{DATA}/openmm_6mrr/velocities_300K.txt"))
+    sys = system_from_pdb(f"{DATA}/6mrr_equil.pdb", ff,
+                          nonbonded_method="pme", approximate_pme=False,
+                          dtype=jnp.float64, velocities=vels)
+    # starting-state checks (protein.jl:283-287)
+    ke = float(kinetic_energy(sys.masses, sys.velocities))
+    assert ke == pytest.approx(65521.87288132431, rel=1e-9)
+    t = float(temperature(sys.masses, sys.velocities, sys.n_dof))
+    assert t == pytest.approx(329.3202932884933, rel=1e-9)
+
+    sim = mt.VelocityVerlet(dt=0.0005)
+    sys2, _ = simulate(sys, sim, 100)
+
+    gold_c = np.loadtxt(f"{DATA}/openmm_6mrr/amber/coordinates_100steps.txt")
+    gold_v = np.loadtxt(f"{DATA}/openmm_6mrr/amber/velocities_100steps.txt")
+    wrap_gold = np.asarray(sys.boundary.wrap(jnp.asarray(gold_c)))
+    coords = np.asarray(sys2.coords)
+    cdiff = np.linalg.norm(coords - wrap_gold, axis=1)
+    vdiff = np.linalg.norm(np.asarray(sys2.velocities) - gold_v, axis=1)
+    assert cdiff.max() < 1e-10, cdiff.max()
+    assert vdiff.max() < 1e-7, vdiff.max()
