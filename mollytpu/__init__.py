@@ -89,7 +89,14 @@ from .free_energy.thermo import (
     ThermoState, LambdaHamiltonian, AlchemicalPartition, set_lambda,
 )
 from .free_energy.extended_ensemble import ExtendedStateSpace, ActiveThermoState
-from .free_energy.awh import AWHSimulation, AWHState, GridBias
+from .free_energy.awh import (
+    AWHSimulation, AWHState, AWHPMFBackend, GridBias, GridAWH, GridAWHState,
+)
+from .free_energy.pmf import (
+    PMFGrid as PMFGridND, PMFResult, SampledPMFDeconvolutionAccumulator,
+    build_log_coupling_matrix, pmf_log_bin_weights, pmf_bin_quality,
+    pmf_result_from_sampled_deconvolution,
+)
 from .free_energy.tss import TSSSimulation, TSSState, TSSWindow, TSSGraph
 from .free_energy.alchemy import (
     DefaultLambdaScheduler, NAMDLambdaScheduler, QuartersLambdaScheduler,

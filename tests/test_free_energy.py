@@ -139,19 +139,117 @@ def test_lambda_hamiltonian_and_partition():
     assert np.allclose(es2, direct, atol=1e-9)
 
 
-def test_awh_simulation_runs():
+def test_grid_awh_runs():
     sys = lj_fluid(n_atoms=10, box=2.2, temp=80.0)
     cv = mt.CalcSingleDist(0, 1)
-    awh = mt.AWHSimulation(cv=cv,
-                           simulator=mt.Langevin(dt=0.002, temperature=80.0,
-                                                 friction=5.0),
-                           temperature=80.0, lo=0.2, hi=1.2, n_bins=10,
-                           n_steps_per_update=20)
+    awh = mt.GridAWH(cv=cv,
+                     simulator=mt.Langevin(dt=0.002, temperature=80.0,
+                                           friction=5.0),
+                     temperature=80.0, lo=0.2, hi=1.2, n_bins=10,
+                     n_steps_per_update=20)
     final, state = awh.simulate(sys, 10, key=jax.random.PRNGKey(63))
     assert state.n_updates == 10
     centers, pmf = awh.pmf(state)
     assert np.all(np.isfinite(pmf))
     assert np.all(np.isfinite(np.asarray(final.coords)))
+
+
+def _dimer_system(k_bond=500.0, r0=0.5, temp=120.0, dtype=jnp.float64):
+    """Two atoms joined by a harmonic bond in a periodic box; the distance
+    CV has an analytically integrable Boltzmann distribution."""
+    from mollytpu.ops.bonded import harmonic_bonds
+    boundary = mt.cubic(4.0, dtype=dtype)
+    coords = jnp.asarray([[1.8, 2.0, 2.0], [2.3, 2.0, 2.0]], dtype=dtype)
+    atoms = mt.make_atoms(n=2, mass=10.0, sigma=0.3, epsilon=0.0, dtype=dtype)
+    vels = mt.random_velocities(jax.random.PRNGKey(9), atoms.mass, temp,
+                                dtype=dtype)
+    bond = harmonic_bonds([0], [1], k=jnp.asarray([k_bond], dtype),
+                          r0=jnp.asarray([r0], dtype))
+    return mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                     velocities=vels, specific_lists=(bond,))
+
+
+def _window_free_energies_quadrature(k_bond, r0, temp, biases):
+    """F_i = -ln Z_i in kBT units by radial quadrature:
+    Z_i = int exp(-beta (U0(r) + b_i(r))) 4 pi r^2 dr."""
+    from mollytpu.units import KB
+    beta = 1.0 / (KB * temp)
+    r = np.linspace(1e-4, 1.5, 40000)
+    u0 = 0.5 * k_bond * (r - r0) ** 2
+    fs = []
+    for b in biases:
+        ub = np.asarray([float(b.bias(x)) for x in r])
+        z = np.trapezoid(np.exp(-beta * (u0 + ub)) * 4 * np.pi * r ** 2, r)
+        fs.append(-np.log(z))
+    fs = np.asarray(fs)
+    return fs - fs[0]
+
+
+def test_awh_reference_class_free_energy_recovery():
+    """Windowed AWH over umbrella states recovers the analytic per-window
+    free energies of a harmonic dimer (the reference's test/tss.jl-style
+    recovery assertion, applied to AWH.jl's estimator)."""
+    temp = 120.0
+    k_bond, r0 = 500.0, 0.5
+    cv = mt.CalcSingleDist(0, 1)
+    centers = [0.40, 0.50, 0.60]
+    biases = tuple(mt.BiasPotential(bias=mt.SquareBias(k=400.0, cv0=c),
+                                    cv=cv) for c in centers)
+    space = mt.ExtendedStateSpace.umbrella_windows(biases, temperature=temp)
+    state = mt.AWHState.create(space, first_state=1, n_bias=20.0)
+    awh = mt.AWHSimulation(
+        state=state,
+        simulator=mt.Langevin(dt=0.002, temperature=temp, friction=5.0),
+        n_md_steps=25, update_freq=1, well_tempered_factor=np.inf,
+        significant_weight=0.1)
+    sys = _dimer_system(k_bond, r0, temp)
+    awh.simulate(sys, 25 * 400, seed=3)
+
+    f_ref = _window_free_energies_quadrature(
+        k_bond, r0, temp, biases)
+    f_est = awh.free_energies()
+    # statistical agreement: ~400 samples -> a few tenths of kBT
+    assert np.all(np.isfinite(f_est))
+    assert np.max(np.abs(f_est - f_ref)) < 0.8, (f_est, f_ref)
+    # stage machinery exercised
+    st = awh.state
+    assert st.N_eff == 400
+    assert st.N_bias > 20.0 or not st.in_initial_stage
+
+
+def test_awh_pmf_deconvolution_recovers_unbiased_pmf():
+    """The sampled PMF deconvolution backend (Lindahl eq. 9) removes the
+    umbrella biases: the recovered PMF matches -ln(p0(r)) of the unbiased
+    harmonic dimer."""
+    from mollytpu.units import KB
+    temp = 120.0
+    k_bond, r0 = 500.0, 0.5
+    cv = mt.CalcSingleDist(0, 1)
+    centers = [0.40, 0.50, 0.60]
+    biases = tuple(mt.BiasPotential(bias=mt.SquareBias(k=400.0, cv0=c),
+                                    cv=cv) for c in centers)
+    space = mt.ExtendedStateSpace.umbrella_windows(biases, temperature=temp)
+    state = mt.AWHState.create(space, n_bias=20.0)
+    backend = mt.AWHPMFBackend(state, grid=(0.35, 0.65, 12), cv=cv)
+    awh = mt.AWHSimulation(
+        state=state,
+        simulator=mt.Langevin(dt=0.002, temperature=temp, friction=5.0),
+        n_md_steps=25, update_freq=1, well_tempered_factor=np.inf,
+        pmf=backend)
+    sys = _dimer_system(k_bond, r0, temp)
+    awh.simulate(sys, 25 * 500, seed=5)
+
+    res = backend.pmf(zero="min")
+    got = res.values()
+    cs = res.centers
+    beta = 1.0 / (KB * temp)
+    ref = beta * 0.5 * k_bond * (cs - r0) ** 2 - 2.0 * np.log(cs / r0)
+    ref = ref - ref.min()
+    ok = np.isfinite(got)
+    assert ok.sum() >= 8
+    # center-of-grid bins (well sampled) agree within ~0.7 kBT
+    mid = ok & (np.abs(cs - r0) < 0.08)
+    assert np.max(np.abs(got[mid] - ref[mid])) < 0.7, (got, ref)
 
 
 def test_tss_simulation_runs():
