@@ -1,5 +1,10 @@
 """Decompose the 6mrr full-step time: forces vs constraints vs integrator
-arithmetic vs neighbor rebuild. Run on TPU (default env)."""
+arithmetic vs neighbor rebuild. Run on TPU (default env).
+
+All variants run the SAME nested-scan chunk path (rebuild every CADENCE with
+align=0) so the per-step lax.cond overhead of the naive path never pollutes
+the numbers; components are isolated by stripping parts of the System.
+"""
 import os
 import time
 from functools import partial
@@ -16,12 +21,12 @@ from mollytpu.ops.neighbors import find_neighbors
 from mollytpu.sim.simulate import _make_chunk_fn
 
 
-def time_chunk(sim, sys, label, n=20, reps=5, rebuild=True):
-    finder = sys.neighbor_finder if rebuild else None
+def time_chunk(sim, sys, label, n=20, reps=5):
     nbs = find_neighbors(sys.neighbor_finder, sys.coords, sys.boundary,
                          sys.exclusions, 0)
     aux = sim.init_aux(sys, nbs)
-    run = jax.jit(partial(_make_chunk_fn(sim, False, finder, align=0), n=n))
+    run = jax.jit(partial(_make_chunk_fn(sim, False, sys.neighbor_finder,
+                                         align=0), n=n))
     key = jax.random.PRNGKey(0)
     out = run(sys, nbs, aux, key, 0)
     jax.block_until_ready(out[0].coords)
@@ -34,7 +39,7 @@ def time_chunk(sim, sys, label, n=20, reps=5, rebuild=True):
         s0 += n
     jax.block_until_ready(out[0].coords)
     ms = (time.perf_counter() - t0) / (reps * n) * 1e3
-    print("%-34s %.3f ms/step" % (label, ms), flush=True)
+    print("%-38s %.3f ms/step" % (label, ms), flush=True)
     return ms
 
 
@@ -42,29 +47,22 @@ def main():
     sys = bench.build()
     sim = mt.Langevin(dt=0.002, temperature=300.0, friction=1.0)
 
-    full = time_chunk(sim, sys, "full step + rebuild/20")
-    norb = time_chunk(sim, sys, "full step, no rebuild", rebuild=False)
-    print("  -> rebuild amortized: %.3f ms/step" % (full - norb), flush=True)
+    full = time_chunk(sim, sys, "full step")
+    nc = time_chunk(sim, sys.update(constraints=()), "- constraints")
+    pme = tuple(g for g in sys.general_inters
+                if type(g).__name__ != "PME")
+    npme = time_chunk(sim, sys.update(general_inters=pme), "- PME")
+    nbond = time_chunk(sim, sys.update(specific_lists=()), "- bonded")
+    ew = tuple(p for p in sys.pairwise_inters
+               if type(p).__name__ not in ("LennardJones", "CoulombEwald"))
+    npair = time_chunk(sim, sys.update(pairwise_inters=ew), "- pair kernel")
+    bare = time_chunk(sim, sys.update(
+        constraints=(), pairwise_inters=(), general_inters=(),
+        specific_lists=()), "integrator+rebuild only")
+    print("diffs: constraints %.3f  PME %.3f  bonded %.3f  pair %.3f  base %.3f"
+          % (full - nc, full - npme, full - nbond, full - npair, bare),
+          flush=True)
 
-    sys_nc = sys.update(constraints=())
-    nc = time_chunk(sim, sys_nc, "no constraints, no rebuild", rebuild=False)
-    print("  -> constraints: %.3f ms/step" % (norb - nc), flush=True)
-
-    sys_nf = sys.update(constraints=(), pairwise_inters=(),
-                        general_inters=(), specific_lists=())
-    nf = time_chunk(sim, sys_nf, "integrator only (no forces)",
-                    rebuild=False)
-    print("  -> forces: %.3f ms/step" % (nc - nf), flush=True)
-
-    # forces split: pairwise only / +pme / +bonded
-    sys_pw = sys.update(constraints=(), general_inters=(), specific_lists=())
-    pw = time_chunk(sim, sys_pw, "pairwise only", rebuild=False)
-    sys_pme = sys.update(constraints=(), specific_lists=())
-    pm = time_chunk(sim, sys_pme, "pairwise + PME/disp", rebuild=False)
-    print("  -> pair kernel: %.3f  PME+disp: %.3f  bonded: %.3f ms/step"
-          % (pw - nf, pm - pw, nc - pm), flush=True)
-
-    # single rebuild cost
     finder = sys.neighbor_finder
     reb = jax.jit(lambda c: finder.find(c, sys.boundary, sys.exclusions, 0))
     nbs = reb(sys.coords)
@@ -73,8 +71,45 @@ def main():
     for _ in range(10):
         nbs = reb(sys.coords)
     jax.block_until_ready(nbs.order)
-    print("one rebuild: %.3f ms" % ((time.perf_counter() - t0) / 10 * 1e3),
+    print("one rebuild: %.3f ms (amortized /%d = %.3f ms/step)"
+          % ((time.perf_counter() - t0) / 10 * 1e3, finder.n_steps,
+             (time.perf_counter() - t0) / 10 * 1e3 / finder.n_steps),
           flush=True)
+
+    # constraints split: SHAKE (position) vs RATTLE (velocity), single calls
+    cons = sys.constraints[0] if sys.constraints else None
+    if cons is not None:
+        coords = sys.coords
+        vels = sys.velocities
+
+        @jax.jit
+        def shake20(c):
+            def body(cc, i):
+                c2, v2 = cons.apply_position_constraints(
+                    cc, cc + 1e-5, vels, sys.masses, sys.boundary, 0.002)
+                return c2, None
+            out, _ = jax.lax.scan(body, c, jnp.arange(20))
+            return out
+
+        @jax.jit
+        def rattle20(v):
+            def body(vv, i):
+                v2 = cons.apply_velocity_constraints(
+                    coords, vv, sys.masses, sys.boundary)
+                return v2, None
+            out, _ = jax.lax.scan(body, v, jnp.arange(20))
+            return out
+
+        for name, fn, arg in [("SHAKE x1", shake20, coords),
+                              ("RATTLE x1", rattle20, vels)]:
+            out = fn(arg)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = fn(arg)
+            jax.block_until_ready(out)
+            print("%-38s %.3f ms" % (name, (time.perf_counter() - t0) / 100
+                                     * 1e3), flush=True)
 
 
 if __name__ == "__main__":
