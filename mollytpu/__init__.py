@@ -97,7 +97,15 @@ from .free_energy.pmf import (
     build_log_coupling_matrix, pmf_log_bin_weights, pmf_bin_quality,
     pmf_result_from_sampled_deconvolution,
 )
-from .free_energy.tss import TSSSimulation, TSSState, TSSWindow, TSSGraph
+from .free_energy.tss import (
+    TSSSimulation, TSSState, TSSLocalEstimator, TSSHistoryForgetting,
+    TSSPMFDeconvolution, TSSJackknifeResult, tss_free_energies,
+    tss_free_energy_uncertainties,
+)
+from .free_energy.tss_graph import (
+    TSSWindow, TSSGraph, TSSGraphBuilder, add_tss_edge, build_tss_graph,
+    tss_grid_graph, single_window_tss_graph,
+)
 from .free_energy.alchemy import (
     DefaultLambdaScheduler, NAMDLambdaScheduler, QuartersLambdaScheduler,
     EleScaledLambdaScheduler,

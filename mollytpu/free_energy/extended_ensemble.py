@@ -91,25 +91,31 @@ class ExtendedStateSpace:
 
     # -- K-state energy sweep ------------------------------------------------
 
-    def state_energies(self, sys, neighbors=None):
+    def state_energies(self, sys, neighbors=None, indices=None):
         """U_k(x) for every state k, sharing lambda-independent work.
 
         sys must be the UNBIASED system (no state bias attached). Returns a
-        (K,) array. The lambda sweep vmaps over the perturbed subset only
-        (AlchemicalPartition, thermo.jl); per-state biases add bias_k(cv(x))
-        on top.
+        (K,) array — or (len(indices),) when `indices` restricts the sweep
+        to a subset of states (the TSS window evaluation sets,
+        TSS/single_window.jl evaluate_energy_subset!). The lambda sweep
+        vmaps over the perturbed subset only (AlchemicalPartition,
+        thermo.jl); per-state biases add bias_k(cv(x)) on top.
         """
         lams = self.lambdas()
-        if np.all(lams == lams[0]):
-            e = potential_energy(set_lambda(sys, float(lams[0]),
+        sel = (list(range(self.n_states)) if indices is None
+               else [int(i) for i in indices])
+        lams_sel = lams[sel]
+        if np.all(lams_sel == lams_sel[0]):
+            e = potential_energy(set_lambda(sys, float(lams_sel[0]),
                                             self.atom_mask), neighbors)
-            es = jnp.full((self.n_states,), e)
+            es = jnp.full((len(sel),), e)
         else:
             part = AlchemicalPartition(self.atom_mask)
-            es = part.cross_energies(sys, lams, neighbors)
+            es = part.cross_energies(sys, lams_sel, neighbors)
         if self.biases is not None:
             bias_es = []
-            for b in self.biases:
+            for k in sel:
+                b = self.biases[k]
                 if b is None:
                     bias_es.append(jnp.zeros(()))
                 else:
@@ -118,14 +124,18 @@ class ExtendedStateSpace:
             es = es + jnp.stack(bias_es)
         return es
 
-    def reduced_potentials(self, sys, neighbors=None, energies=None):
+    def reduced_potentials(self, sys, neighbors=None, energies=None,
+                           indices=None):
         """u_k = beta_k (U_k + p_k V) — the generalized-ensemble reduced
-        potential (reference: reduced_potentials!, extended_ensemble.jl)."""
+        potential (reference: reduced_potentials!, extended_ensemble.jl).
+        `indices` restricts the sweep to a subset of states."""
         if energies is None:
-            energies = self.state_energies(sys, neighbors)
-        betas = jnp.asarray(self.betas())
+            energies = self.state_energies(sys, neighbors, indices=indices)
+        sel = (slice(None) if indices is None
+               else np.asarray([int(i) for i in indices]))
+        betas = jnp.asarray(self.betas()[sel])
         u = betas * energies
-        press = self.pressures()
+        press = self.pressures()[sel]
         if np.any(np.isfinite(press)):
             v = sys.boundary.volume()
             p = jnp.asarray(np.where(np.isfinite(press), press, 0.0))

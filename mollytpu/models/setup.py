@@ -245,7 +245,7 @@ def _improper_ordering(ff, rule, perm, c, j, k, l, struct, type_of):
     return (j, k, c, l)
 
 
-BUILD_CACHE_VERSION = 1
+BUILD_CACHE_VERSION = 2   # bumped: ClusterBucket layout change (slice path)
 
 
 def _models_code_fingerprint():

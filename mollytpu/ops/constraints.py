@@ -36,17 +36,24 @@ class ClusterBucket:
     pattern is the static in-cluster topology: ((slot_i, slot_j), ...) per
     constraint. Supported shapes: single ((0,1),), path-2 ((0,1),(0,2)),
     star-3 ((0,1),(0,2),(0,3)), triangle ((0,1),(0,2),(1,2)).
+
+    TPU layout fast path: gathers/scatters on this hardware run at scalar
+    rate (~40 ns/row — measured 0.6 ms for a 15k-row gather), so when the
+    bucket's atoms are CONTIGUOUS ids (atoms[c, m] == start + c*MA + m —
+    true for solvent O,H,H triangles and most H clusters in PDB order) the
+    per-call "gather" becomes a static slice reshape and the write-back a
+    static slice add. `slice_start` >= 0 marks that layout.
     """
 
     atoms: jax.Array      # (C, MA) int32 atom ids
     dists: jax.Array      # (C, MC) target distances
-    atom_src: jax.Array   # (N,) int32 flat index into (C*MA) or C*MA pad
     pattern: tuple = dataclasses.field(default=(), metadata={"static": True})
+    slice_start: int = dataclasses.field(default=-1, metadata={"static": True})
 
 
 jax.tree_util.register_dataclass(
-    ClusterBucket, data_fields=["atoms", "dists", "atom_src"],
-    meta_fields=["pattern"])
+    ClusterBucket, data_fields=["atoms", "dists"],
+    meta_fields=["pattern", "slice_start"])
 
 
 def _build_clusters(pairs, dists, n_atoms):
@@ -117,12 +124,27 @@ def _build_clusters(pairs, dists, n_atoms):
         atoms = np.asarray([r[0] for r in rows], dtype=np.int32)
         dd = np.asarray([r[1] for r in rows], dtype=ddt)
         c, ma = atoms.shape
-        atom_src = np.full(n_atoms, c * ma, dtype=np.int32)
-        flat = atoms.reshape(-1)
-        atom_src[flat] = np.arange(c * ma, dtype=np.int32)
+        # canonicalize permutable slots ascending (single i<j; path-2 /
+        # star-3 others sorted, distances follow) so PDB-ordered clusters
+        # become within-consecutive, then sort clusters by first atom
+        if pattern == ((0, 1),):
+            order = np.argsort(atoms, axis=1)
+            atoms = np.take_along_axis(atoms, order, axis=1)
+        elif pattern in (((0, 1), (0, 2)), ((0, 1), (0, 2), (0, 3))):
+            order = np.argsort(atoms[:, 1:], axis=1)
+            atoms[:, 1:] = np.take_along_axis(atoms[:, 1:], order, axis=1)
+            dd = np.take_along_axis(dd, order, axis=1)
+        row_order = np.argsort(atoms[:, 0], kind="stable")
+        atoms, dd = atoms[row_order], dd[row_order]
+        # slice fast path: bucket atoms form one contiguous id range in
+        # row-major order (true for synthesized solvent and packed clusters)
+        start = int(atoms[0, 0])
+        slice_start = start if np.array_equal(
+            atoms, start + np.arange(c * ma, dtype=np.int32).reshape(c, ma)
+        ) else -1
         out.append(ClusterBucket(
             atoms=jnp.asarray(atoms), dists=jnp.asarray(dd),
-            atom_src=jnp.asarray(atom_src), pattern=pattern))
+            pattern=pattern, slice_start=slice_start))
     return tuple(out)
 
 
@@ -194,34 +216,85 @@ class SHAKERattle:
         g = arr.T[:, idx]                    # (3, ...)
         return jnp.moveaxis(g, 0, -1)
 
+    # TPU layout note: cluster math runs in TRANSPOSED (MA, 3, C) / (MA, C)
+    # layout — clusters on the 128-lane axis. The natural (C, MA, 3) layout
+    # puts the 3-vector on lanes, wasting 125/128 of every vector op
+    # (measured: the closed-form RATTLE solve alone cost 1.1 ms at 44k
+    # elements; transposed it is ~lane-speed).
+
+    @staticmethod
+    def _bucket_read_t(arr, b):
+        """(MA, D, C) bucket view of arr (N, D): static slice reshape on the
+        contiguous-layout fast path, small row gather otherwise."""
+        c, ma = b.atoms.shape
+        if b.slice_start >= 0:
+            s = b.slice_start
+            blk = arr[s:s + c * ma].reshape(c, ma, arr.shape[1])
+        else:
+            blk = arr[b.atoms]
+        return blk.transpose(1, 2, 0)
+
+    @staticmethod
+    def _bucket_read_scalar_t(arr, b):
+        """(MA, C) bucket view of a per-atom scalar arr (N,)."""
+        c, ma = b.atoms.shape
+        if b.slice_start >= 0:
+            s = b.slice_start
+            return arr[s:s + c * ma].reshape(c, ma).T
+        return arr[b.atoms].T
+
+    @staticmethod
+    def _bucket_writeback_t(out, b, delta):
+        """out += scatter of per-slot deltas (MA, D, C): static slice add on
+        the fast path, scatter-add (a few hundred rows) otherwise."""
+        c, ma = b.atoms.shape
+        flat = delta.transpose(2, 0, 1).reshape(c * ma, delta.shape[1])
+        if b.slice_start >= 0:
+            s = b.slice_start
+            return out.at[s:s + c * ma].add(flat)
+        return out.at[b.atoms.reshape(-1)].add(flat)
+
+    @staticmethod
+    def _disp_t(boundary, xi, xj):
+        """Minimum-image xj - xi for (D, C)-shaped vectors (component axis
+        leading); orthorhombic fast path, axis-moved fallback otherwise."""
+        box = getattr(boundary, "side_lengths", None)
+        if box is not None:
+            dr = xj - xi
+            box = box[:, None]
+            periodic = jnp.isfinite(box)
+            safe = jnp.where(periodic, box, 1.0)
+            shift = jnp.where(periodic, jnp.round(dr / safe), 0.0)
+            return dr - shift * jnp.where(periodic, box, 0.0)
+        d = boundary.displacement(jnp.moveaxis(xi, 0, -1),
+                                  jnp.moveaxis(xj, 0, -1))
+        return jnp.moveaxis(d, -1, 0)
+
     def _cluster_positions(self, coords_prev, coords_new, inv_m, boundary):
         out = coords_new
         for b in self.clusters:
             pat = b.pattern
-            x0 = self._gather_rows(coords_prev, b.atoms)   # (C, MA, 3)
-            x_in = self._gather_rows(coords_new, b.atoms)
-            im = inv_m[b.atoms]                            # (C, MA)
-            d0 = b.dists.astype(coords_new.dtype)
-            rref = [boundary.displacement(x0[:, sj], x0[:, si])
+            x0 = self._bucket_read_t(coords_prev, b)       # (MA, 3, C)
+            x_in = self._bucket_read_t(coords_new, b)
+            im = self._bucket_read_scalar_t(inv_m, b)      # (MA, C)
+            d0 = b.dists.astype(coords_new.dtype).T        # (MC, C)
+            rref = [self._disp_t(boundary, x0[sj], x0[si])
                     for (si, sj) in pat]                   # i - j per slot
 
             def sweep(_, x):
                 for s, (si, sj) in enumerate(pat):
-                    dr = boundary.displacement(x[:, sj], x[:, si])
-                    diff = jnp.sum(dr * dr, axis=1) - d0[:, s] * d0[:, s]
-                    denom = 2.0 * (im[:, si] + im[:, sj]) * jnp.sum(
-                        dr * rref[s], axis=1)
+                    dr = self._disp_t(boundary, x[sj], x[si])
+                    diff = jnp.sum(dr * dr, axis=0) - d0[s] * d0[s]
+                    denom = 2.0 * (im[si] + im[sj]) * jnp.sum(
+                        dr * rref[s], axis=0)
                     denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-                    g = self.omega * diff / denom
-                    x = x.at[:, si].add(-(g * im[:, si])[:, None] * rref[s])
-                    x = x.at[:, sj].add((g * im[:, sj])[:, None] * rref[s])
+                    g = self.omega * diff / denom          # (C,)
+                    x = x.at[si].add(-(g * im[si])[None, :] * rref[s])
+                    x = x.at[sj].add((g * im[sj])[None, :] * rref[s])
                 return x
 
             x = jax.lax.fori_loop(0, self.n_iters, sweep, x_in)
-            dx = (x - x_in).reshape(-1, coords_new.shape[1])
-            dxp = jnp.concatenate(
-                [dx, jnp.zeros((1, dx.shape[1]), dx.dtype)])
-            out = out + self._gather_rows(dxp, b.atom_src)
+            out = self._bucket_writeback_t(out, b, x - x_in)
         return out
 
     def _cluster_velocities(self, coords, vels, inv_m, boundary):
@@ -232,13 +305,13 @@ class SHAKERattle:
         for b in self.clusters:
             pat = b.pattern
             mc = len(pat)
-            xc = self._gather_rows(coords, b.atoms)
-            v_in = self._gather_rows(vels, b.atoms)
-            im = inv_m[b.atoms]
-            drs = [boundary.displacement(xc[:, sj], xc[:, si])
-                   for (si, sj) in pat]
+            xc = self._bucket_read_t(coords, b)            # (MA, 3, C)
+            v_in = self._bucket_read_t(vels, b)
+            im = self._bucket_read_scalar_t(inv_m, b)      # (MA, C)
+            drs = [self._disp_t(boundary, xc[sj], xc[si])
+                   for (si, sj) in pat]                    # (3, C) each
             # residuals r_s = (v_i - v_j) . dr_s
-            r = [jnp.sum((v_in[:, si] - v_in[:, sj]) * drs[s], axis=1)
+            r = [jnp.sum((v_in[si] - v_in[sj]) * drs[s], axis=0)
                  for s, (si, sj) in enumerate(pat)]
 
             def sigma(a, t):
@@ -251,10 +324,10 @@ class SHAKERattle:
                 for t in range(mc):
                     w_i, w_j = sigma(si, t), sigma(sj, t)
                     if w_i == 0.0 and w_j == 0.0:
-                        C[s][t] = jnp.zeros(xc.shape[0], xc.dtype)
+                        C[s][t] = jnp.zeros(xc.shape[-1], xc.dtype)
                         continue
-                    dot = jnp.sum(drs[s] * drs[t], axis=1)
-                    C[s][t] = dot * (w_i * im[:, si] - w_j * im[:, sj])
+                    dot = jnp.sum(drs[s] * drs[t], axis=0)
+                    C[s][t] = dot * (w_i * im[si] - w_j * im[sj])
 
             if mc == 1:
                 ks = [r[0] / jnp.where(jnp.abs(C[0][0]) > 1e-12,
@@ -285,12 +358,9 @@ class SHAKERattle:
 
             v = v_in
             for s, (si, sj) in enumerate(pat):
-                v = v.at[:, si].add(-(ks[s] * im[:, si])[:, None] * drs[s])
-                v = v.at[:, sj].add((ks[s] * im[:, sj])[:, None] * drs[s])
-            dv = (v - v_in).reshape(-1, vels.shape[1])
-            dvp = jnp.concatenate(
-                [dv, jnp.zeros((1, dv.shape[1]), dv.dtype)])
-            out = out + self._gather_rows(dvp, b.atom_src)
+                v = v.at[si].add(-(ks[s] * im[si])[None, :] * drs[s])
+                v = v.at[sj].add((ks[s] * im[sj])[None, :] * drs[s])
+            out = self._bucket_writeback_t(out, b, v - v_in)
         return out
 
     def _apply_corr(self, per_cons_vec, inv_m, dtype):

@@ -253,6 +253,8 @@ def test_awh_pmf_deconvolution_recovers_unbiased_pmf():
 
 
 def test_tss_simulation_runs():
+    """Smoke: windowed TSS over a soft-core lambda ladder (the full
+    reference-class driver lives in tests/test_tss.py)."""
     key = jax.random.PRNGKey(64)
     boundary = mt.cubic(2.0, dtype=jnp.float64)
     coords = mt.place_atoms(key, boundary, 8, min_dist=0.35, dtype=jnp.float64)
@@ -264,13 +266,17 @@ def test_tss_simulation_runs():
     sc = mt.LennardJonesSoftCoreBeutler(alpha=0.5)
     sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
                     velocities=vels, pairwise_inters=(sc,))
-    tss = mt.TSSSimulation(lambdas=jnp.linspace(0.0, 1.0, 4),
-                           simulator=mt.Langevin(dt=0.002, temperature=80.0,
-                                                 friction=5.0),
-                           temperature=80.0, n_steps_per_move=10)
-    final, state, f = tss.simulate(sys, 12, key=jax.random.PRNGKey(66))
+    space = mt.ExtendedStateSpace.lambda_grid(np.linspace(0.0, 1.0, 4),
+                                              temperature=80.0)
+    state = mt.TSSState(space, graph=mt.tss_grid_graph((4,), window_size=2))
+    sim = mt.TSSSimulation(state, sys,
+                           mt.Langevin(dt=0.002, temperature=80.0,
+                                       friction=5.0),
+                           n_md_steps=10, n_cycles=12)
+    sim.run(key=jax.random.PRNGKey(66))
+    f = mt.tss_free_energies(state)
     assert np.all(np.isfinite(f))
-    assert 0 <= state.current_state < 4
+    assert 0 <= state.active_state_index < 4
 
 
 def test_checkpoint_roundtrip(tmp_path):
