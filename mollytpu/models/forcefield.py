@@ -93,10 +93,115 @@ class ResidueTemplate:
     external: List[int]
     virtual_sites: List[TemplateVirtualSite] = dataclasses.field(default_factory=list)
     override: str = ""
+    allowed_patches: List[str] = dataclasses.field(default_factory=list)
 
     @property
     def atom_names(self):
         return frozenset(a.name for a in self.atoms)
+
+
+@dataclasses.dataclass
+class ResiduePatchTemplate:
+    """A CHARMM-style residue patch (<Patches>/<Patch>), reference:
+    force_field.jl:478-521 + residues.jl ResiduePatchTemplate:18."""
+
+    name: str
+    add_atoms: List[Tuple[str, str, Optional[float]]]     # name, type, charge
+    change_atoms: List[Tuple[str, str, Optional[float]]]
+    remove_atoms: List[str]
+    add_bonds: List[Tuple[str, str]]
+    remove_bonds: List[Tuple[str, str]]
+    add_external_bonds: List[str]
+    remove_external_bonds: List[str]
+    apply_to_residues: List[str]
+
+
+def _apply_residue_patch(residue, patch, patched_name):
+    """Apply a ResiduePatchTemplate to a ResidueTemplate, returning the
+    patched template or None if the patch does not fit (reference:
+    residues.jl apply_residue_patch:739-877; invalid patches warn + skip)."""
+    import warnings
+
+    def _warn(msg):
+        warnings.warn(f"can't apply patch {patch.name} to residue template "
+                      f"{residue.name}: {msg}")
+
+    atoms = list(residue.atoms)
+    bonds = list(residue.bonds)
+    external = list(residue.external)
+    vsites = list(residue.virtual_sites)
+
+    def _idx(name):
+        for i, a in enumerate(atoms):
+            if a.name == name:
+                return i
+        return None
+
+    for name, atype, charge in patch.add_atoms:
+        if _idx(name) is not None:
+            _warn(f"atom name {name} already present")
+            return None
+        atoms.append(TemplateAtom(name, atype, charge))
+    for name, atype, charge in patch.change_atoms:
+        i = _idx(name)
+        if i is None:
+            _warn(f"atom name {name} missing")
+            return None
+        atoms[i] = TemplateAtom(name, atype, charge)
+    # remove bonds before atoms: a bond endpoint may be removed next
+    for n1, n2 in patch.remove_bonds:
+        i, j = _idx(n1), _idx(n2)
+        if i is None or j is None:
+            _warn(f"atom name {n1 if i is None else n2} missing")
+            return None
+        key = {i, j}
+        hit = next((bi for bi, b in enumerate(bonds) if set(b) == key), None)
+        if hit is None:
+            _warn(f"bond between {n1} and {n2} missing")
+            return None
+        del bonds[hit]
+    for name in patch.remove_atoms:
+        i = _idx(name)
+        if i is None:
+            _warn(f"atom name {name} missing")
+            return None
+        if any(i in b for b in bonds):
+            _warn(f"atom name {name} can't be removed as it is part of a "
+                  "bond")
+        if any(i == v.index or i in v.atoms for v in vsites):
+            _warn(f"atom name {name} is part of a virtual site")
+            return None
+        del atoms[i]
+        external = [e - (e > i) for e in external if e != i]
+        bonds = [(a - (a > i), b - (b > i)) for a, b in bonds
+                 if a != i and b != i]
+        vsites = [dataclasses.replace(
+            v, index=v.index - (v.index > i),
+            atoms=tuple(a - (a > i) for a in v.atoms)) for v in vsites]
+    for n1, n2 in patch.add_bonds:
+        i, j = _idx(n1), _idx(n2)
+        if i is None or j is None:
+            _warn(f"atom name {n1 if i is None else n2} missing")
+            return None
+        if any(set(b) == {i, j} for b in bonds):
+            _warn(f"bond between {n1} and {n2} already present")
+            return None
+        bonds.append((i, j))
+    for name in patch.add_external_bonds:
+        i = _idx(name)
+        if i is None:
+            _warn(f"atom name {name} missing")
+            return None
+        external.append(i)
+    for name in patch.remove_external_bonds:
+        i = _idx(name)
+        if i is None:
+            _warn(f"atom name {name} missing")
+            return None
+        if i in external:
+            external.remove(i)
+    return ResidueTemplate(patched_name, atoms, bonds, external, vsites,
+                           override=residue.override, allowed_patches=[])
 
 
 @dataclasses.dataclass
@@ -167,6 +272,7 @@ class ForceField:
     def __init__(self, *paths):
         self.atom_types: Dict[str, AtomType] = {}
         self.residues: Dict[str, ResidueTemplate] = {}
+        self.patches: Dict[str, ResiduePatchTemplate] = {}
         self.bond_rules: List[BondRule] = []
         self.angle_rules: List[AngleRule] = []
         self.torsion_rules: List[TorsionRule] = []
@@ -182,6 +288,7 @@ class ForceField:
         self._content_hash = None   # sha256 over loaded XML bytes (cache key)
         for p in paths:
             self.load(p)
+        self._apply_patches()
         self._index()
 
     @property
@@ -208,7 +315,8 @@ class ForceField:
                 float(a.get("mass", 0.0)))
         for rnode in root.findall("Residues/Residue"):
             self._parse_residue(rnode)
-        # TODO: <Patches> support for CHARMM-style patched residues
+        for pnode in root.findall("Patches/Patch"):
+            self._parse_patch(pnode)
         for node in root.findall("HarmonicBondForce/Bond"):
             a = node.attrib
             self.bond_rules.append(BondRule(
@@ -332,9 +440,73 @@ class ForceField:
             else:
                 raise ValueError(f"unsupported virtual site type {stype}")
             vsites.append(TemplateVirtualSite(stype, sidx, tuple(parents), weights))
+        allowed = [p.attrib["name"] for p in rnode.findall("AllowPatch")]
         self.residues[name] = ResidueTemplate(
             name, atoms, bonds, external, vsites,
-            override=rnode.attrib.get("override", ""))
+            override=rnode.attrib.get("override", ""),
+            allowed_patches=allowed)
+
+    def _parse_patch(self, pnode):
+        """<Patch> parsing (reference: force_field.jl:478-521). Multi-residue
+        patches (residues != 1) are skipped with a warning."""
+        import warnings
+        a = pnode.attrib
+        pname = a["name"]
+        if a.get("residues", "1") != "1":
+            warnings.warn(f"residue patch {pname} alters multiple templates; "
+                          "not supported, ignoring")
+            return
+        patch = ResiduePatchTemplate(pname, [], [], [], [], [], [], [], [])
+        for el in pnode:
+            e = el.attrib
+            if el.tag == "AddAtom":
+                patch.add_atoms.append((
+                    e["name"], e["type"],
+                    float(e["charge"]) if "charge" in e else None))
+            elif el.tag == "ChangeAtom":
+                patch.change_atoms.append((
+                    e["name"], e["type"],
+                    float(e["charge"]) if "charge" in e else None))
+            elif el.tag == "RemoveAtom":
+                patch.remove_atoms.append(e["name"])
+            elif el.tag == "AddBond":
+                patch.add_bonds.append((e["atomName1"], e["atomName2"]))
+            elif el.tag == "RemoveBond":
+                patch.remove_bonds.append((e["atomName1"], e["atomName2"]))
+            elif el.tag == "AddExternalBond":
+                patch.add_external_bonds.append(e["atomName"])
+            elif el.tag == "RemoveExternalBond":
+                patch.remove_external_bonds.append(e["atomName"])
+            elif el.tag == "ApplyToResidue":
+                patch.apply_to_residues.append(e["name"])
+        self.patches[pname] = patch
+
+    def _apply_patches(self):
+        """Generate patched residue variants "<res>_<patch>" for every
+        allowed (residue, patch) pair; they then compete in ordinary template
+        matching (reference: force_field.jl:924-957)."""
+        if not self.patches:
+            return
+        for res_name in list(self.residues):
+            to_apply = list(self.residues[res_name].allowed_patches)
+            for pname, patch in self.patches.items():
+                if res_name in patch.apply_to_residues:
+                    to_apply.append(pname)
+            for pname in sorted(set(to_apply)):
+                if pname not in self.patches:
+                    continue
+                suffix = 0
+                while True:
+                    sfx = "" if suffix == 0 else f"_{suffix}"
+                    patched_name = f"{res_name}_{pname}{sfx}"
+                    if patched_name not in self.residues:
+                        break
+                    suffix += 1
+                patched = _apply_residue_patch(
+                    self.residues[res_name], self.patches[pname],
+                    patched_name)
+                if patched is not None:
+                    self.residues[patched_name] = patched
 
     # -- resolution ----------------------------------------------------------
 

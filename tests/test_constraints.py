@@ -102,6 +102,7 @@ def test_constrained_vs_stiff_bond_dynamics():
     assert 50.0 < t < 400.0
 
 
+@pytest.mark.protein
 def test_setup_constraints_from_pdb():
     """constraints='hbonds' on 6mrr: H bonds constrained and removed from the
     bond list; mass/DoF bookkeeping consistent."""

@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 
 import mollytpu as mt
+
+pytestmark = pytest.mark.gradients
 from tests.test_simulation import lj_fluid
 
 

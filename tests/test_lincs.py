@@ -101,6 +101,7 @@ def test_lincs_in_md_conserves_constraints():
     assert bool(jnp.all(jnp.isfinite(final.coords)))
 
 
+@pytest.mark.protein
 def test_setup_lincs_partitions_triangles():
     """Water triangles must stay on SHAKE when algorithm='lincs'."""
     import os

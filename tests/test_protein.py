@@ -26,8 +26,8 @@ from mollytpu.models.setup import system_from_pdb
 DATA = "/root/reference/data"
 GOLD = f"{DATA}/openmm_6mrr/amber"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(GOLD), reason="reference golden data not available")
+pytestmark = [pytest.mark.protein, pytest.mark.skipif(
+    not os.path.isdir(GOLD), reason="reference golden data not available")]
 
 
 @pytest.fixture(scope="module")
