@@ -123,8 +123,40 @@ class BlockPairFinder:
     max_jlist: int = dataclasses.field(default=LANES, metadata={"static": True})
     max_work_items: int = dataclasses.field(default=0, metadata={"static": True})
     n_steps: int = dataclasses.field(default=1, metadata={"static": True})
+    # NPT staleness policy: the cell geometry, capacities, and the hoisted-
+    # MIC decision are sized for the SETUP-TIME box (ref_sides). Barostat
+    # volume changes beyond resetup_drift (relative, any axis) trigger a
+    # host-side re-setup between chunks (sim.simulate), re-deriving geometry
+    # from the current box; within the band, the skin + overflow/extent
+    # guards keep the static geometry safe.
+    ref_sides: tuple = dataclasses.field(default=None, metadata={"static": True})
+    resetup_drift: float = dataclasses.field(default=0.05,
+                                             metadata={"static": True})
 
     is_block_finder = True
+
+    def box_drift_exceeded(self, boundary):
+        """Host-side check: has the box drifted beyond the static-geometry
+        band this finder was sized for?"""
+        if self.ref_sides is None:
+            return False
+        cur = np.asarray(jax.device_get(boundary.side_lengths),
+                         dtype=np.float64)
+        ref = np.asarray(self.ref_sides, dtype=np.float64)
+        ok = np.isfinite(ref) & np.isfinite(cur)
+        if not ok.any():
+            return False
+        return bool(np.any(np.abs(cur[ok] / ref[ok] - 1.0)
+                           > self.resetup_drift))
+
+    def resetup(self, boundary, n_atoms, coords=None, atoms=None):
+        """New finder sized for the current box (same cutoff/cadence).
+        Static parameter packing is re-enabled only if this finder used it
+        (alchemical systems that mutate per-atom params leave it off)."""
+        return type(self).setup(
+            boundary, self.dist_cutoff, n_atoms, n_steps=self.n_steps,
+            coords=coords,
+            atoms=atoms if self.atom_static is not None else None)
 
     @property
     def n_blocks(self):
@@ -195,7 +227,8 @@ class BlockPairFinder:
         finder = cls(dist_cutoff=float(dist_cutoff), atom_static=atom_static,
                      grid_dims=dims, sort_dims=sort_dims, n_pad=n_pad,
                      max_pairs=max_pairs, max_jlist=max_jlist,
-                     n_steps=n_steps, hoist_mic=hoist_mic)
+                     n_steps=n_steps, hoist_mic=hoist_mic,
+                     ref_sides=tuple(float(s) for s in sides))
         if coords is not None:
             trial = _trial_find(finder, coords, boundary)
             pair_over = int(jax.device_get(trial.overflow)) >> 20
@@ -487,7 +520,8 @@ class BlockPairFinder:
 
 _register(BlockPairFinder, ["dist_cutoff", "atom_static"],
           ["grid_dims", "sort_dims", "n_pad", "max_pairs", "max_jlist",
-           "max_work_items", "n_steps", "hoist_mic"])
+           "max_work_items", "n_steps", "hoist_mic", "ref_sides",
+           "resetup_drift"])
 
 
 def decode_overflow(ov):

@@ -62,8 +62,32 @@ class CellTileFinder:
     grid_dims: tuple = dataclasses.field(default=None, metadata={"static": True})
     cell_capacity: int = dataclasses.field(default=32, metadata={"static": True})
     n_steps: int = dataclasses.field(default=1, metadata={"static": True})
+    # NPT staleness policy (see BlockPairFinder): grid dims/capacities are
+    # sized for the setup-time box; drift beyond resetup_drift triggers a
+    # host-side re-setup between chunks.
+    ref_sides: tuple = dataclasses.field(default=None, metadata={"static": True})
+    resetup_drift: float = dataclasses.field(default=0.05,
+                                             metadata={"static": True})
 
     is_tile_finder = True
+
+    def box_drift_exceeded(self, boundary):
+        if self.ref_sides is None:
+            return False
+        import numpy as _np
+        cur = _np.asarray(jax.device_get(boundary.side_lengths),
+                          dtype=_np.float64)
+        ref = _np.asarray(self.ref_sides, dtype=_np.float64)
+        ok = _np.isfinite(ref) & _np.isfinite(cur)
+        if not ok.any():
+            return False
+        return bool(_np.any(_np.abs(cur[ok] / ref[ok] - 1.0)
+                            > self.resetup_drift))
+
+    def resetup(self, boundary, n_atoms, coords=None, atoms=None):
+        return type(self).setup(boundary, self.dist_cutoff, n_atoms,
+                                n_steps=self.n_steps,
+                                cell_capacity=self.cell_capacity)
 
     @classmethod
     def setup(cls, boundary, dist_cutoff, n_atoms, n_steps=1, cell_capacity=None):
@@ -96,7 +120,9 @@ class CellTileFinder:
             nz = (cz + oz) % dims[2]
             sten[:, s] = (nx * dims[1] + ny) * dims[2] + nz
         return cls(dist_cutoff=float(dist_cutoff), stencil=jnp.asarray(sten),
-                   grid_dims=dims, cell_capacity=cell_capacity, n_steps=n_steps)
+                   grid_dims=dims, cell_capacity=cell_capacity,
+                   n_steps=n_steps,
+                   ref_sides=tuple(float(s) for s in sides))
 
     def find(self, coords, boundary, exclusions=None, step_n=0):
         n = coords.shape[0]
@@ -127,7 +153,8 @@ class CellTileFinder:
 
 
 _register(CellTileFinder, ["dist_cutoff", "stencil"],
-          ["grid_dims", "cell_capacity", "n_steps"])
+          ["grid_dims", "cell_capacity", "n_steps", "ref_sides",
+           "resetup_drift"])
 
 
 def _gather_fields(atoms, idx):

@@ -188,6 +188,18 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
                               "max_neighbors / cell_capacity on the finder")
                 raise RuntimeError(
                     f"neighbor finder overflow at step {step_n}: {causes}")
+        # NPT staleness: barostat drift beyond the finder's static-geometry
+        # band re-derives the cell geometry from the current box (new static
+        # config -> fresh compiles of subsequent chunks)
+        if (finder is not None
+                and getattr(finder, "box_drift_exceeded", None) is not None
+                and finder.box_drift_exceeded(sys.boundary)):
+            finder = finder.resetup(sys.boundary, sys.n_atoms,
+                                    coords=sys.coords, atoms=sys.atoms)
+            sys = sys.update(neighbor_finder=finder)
+            neighbors = find_neighbors(finder, sys.coords, sys.boundary,
+                                       sys.exclusions, step_n)
+            chunk_fn_cache.clear()
         log_now(step_n)
 
     logs = {k: _stack(v) for k, v in logs.items()}
