@@ -398,121 +398,200 @@ _register(DPDVelocityVerlet, ["dt", "lam", "coupling"], ["remove_cm"])
 
 
 def _split_fast_slow(sys):
-    """MTS split: bonded terms are the fast group, nonbonded + general the
-    slow group (the reference allows arbitrary per-interaction fractions,
-    simulators.jl:1616-1940; this covers the standard rRESPA use)."""
+    """Legacy MTS split: bonded terms are the fast group, nonbonded +
+    general the slow group (the default when no per-interaction fractions
+    are given)."""
     sys_fast = sys.update(pairwise_inters=(), general_inters=())
     sys_slow = sys.update(specific_lists=())
     return sys_fast, sys_slow
 
 
+def _mts_fractions(sim, sys):
+    """Resolve + validate per-interaction evaluation fractions
+    (simulators.jl setup_mts_integrator :1718-1738 +
+    mts_interaction_groups :1759-1783). Returns (ordered_fractions,
+    per-level interaction subsets). With no fractions given, falls back to
+    the classic bonded-fast / nonbonded-slow split at n_substeps."""
+    np_, ns, ng = (len(sys.pairwise_inters), len(sys.specific_lists),
+                   len(sys.general_inters))
+    pf, sf, gf = sim.pi_fractions, sim.si_fractions, sim.gi_fractions
+    if not (pf or sf or gf):
+        pf = (1,) * np_
+        gf = (1,) * ng
+        sf = (sim.n_substeps,) * ns
+    if len(pf) != np_:
+        raise ValueError(f"system has {np_} pairwise interactions but "
+                         f"pi_fractions has {len(pf)}")
+    if len(sf) != ns:
+        raise ValueError(f"system has {ns} specific interaction lists but "
+                         f"si_fractions has {len(sf)}")
+    if len(gf) != ng:
+        raise ValueError(f"system has {ng} general interactions but "
+                         f"gi_fractions has {len(gf)}")
+    allf = tuple(pf) + tuple(sf) + tuple(gf)
+    if not allf:
+        raise ValueError("MTS integrator requires at least one interaction")
+    fractions = tuple(sorted(set(int(f) for f in allf)))
+    if fractions[0] < 1:
+        raise ValueError(f"MTS fraction {fractions[0]} cannot be < 1")
+    if fractions[0] != 1:
+        raise ValueError("MTS fractions must include 1, lowest is "
+                         f"{fractions[0]}")
+    for a, b in zip(fractions, fractions[1:]):
+        if b % a != 0:
+            raise ValueError(f"MTS fraction {b} not a multiple of {a}")
+    groups = []
+    for f in fractions:
+        groups.append(sys.update(
+            pairwise_inters=tuple(p for p, x in zip(sys.pairwise_inters, pf)
+                                  if x == f),
+            specific_lists=tuple(s for s, x in zip(sys.specific_lists, sf)
+                                 if x == f),
+            general_inters=tuple(g for g, x in zip(sys.general_inters, gf)
+                                 if x == f)))
+    return fractions, groups
+
+
 @dataclasses.dataclass(frozen=True)
 class MTSIntegrator(_IntegratorBase):
-    """rRESPA multiple time stepping (simulators.jl:1616-1800): slow
-    (nonbonded) forces kick at dt, fast (bonded) forces integrate with an
-    inner velocity-Verlet loop at dt / n_substeps."""
+    """rRESPA multiple time stepping with per-interaction evaluation
+    fractions (simulators.jl:1616-1845, mts_substeps! :1800).
+
+    pi_fractions / si_fractions / gi_fractions give the number of times each
+    pairwise / specific / general interaction is evaluated per outer step
+    (e.g. gi_fractions=(1,) with pi_fractions=(2,) evaluates PME once and
+    the real-space pair kernel twice per outer dt). Fractions must include 1
+    and each must divide the next. With none given, the classic bonded-fast
+    (n_substeps) / nonbonded-slow split applies.
+
+    The recursion over fraction levels is unrolled at trace time (fractions
+    are static), so XLA sees one flat substep program per outer step.
+    """
 
     dt: float
     n_substeps: int = dataclasses.field(default=4, metadata={"static": True})
+    pi_fractions: tuple = dataclasses.field(default=(), metadata={"static": True})
+    si_fractions: tuple = dataclasses.field(default=(), metadata={"static": True})
+    gi_fractions: tuple = dataclasses.field(default=(), metadata={"static": True})
     coupling: tuple = ()
     remove_cm: bool = dataclasses.field(default=True, metadata={"static": True})
 
     def init_aux(self, sys, neighbors, needs_virial=False):
-        sys_fast, sys_slow = _split_fast_slow(sys)
-        f_slow, v = forces_virial(sys_slow, neighbors, 0, needs_virial=needs_virial)
-        f_fast, _ = forces_virial(sys_fast, None, 0)
-        aux = {"forces": f_slow + f_fast, "virial": v,
-               "f_slow": f_slow, "f_fast": f_fast}
+        fractions, groups = _mts_fractions(self, sys)
+        aux = {}
+        total = None
+        for i, g in enumerate(groups):
+            f, _ = forces_virial(g, neighbors, 0)
+            aux[f"f_lvl{i}"] = f
+            total = f if total is None else total + f
+        aux["forces"] = total
+        if needs_virial:
+            _, v = forces_virial(sys, neighbors, 0, needs_virial=True)
+        else:
+            v = jnp.zeros((3, 3), dtype=sys.coords.dtype)
+        aux["virial"] = v
         for c in self.coupling:
             if hasattr(c, "init_state"):
                 aux["mc_baro"] = c.init_state(sys)
         return aux
 
+    # innermost coordinate move: plain VV drift + SHAKE
+    def _coord_update(self, sys, coords, vels, dt_x, key):
+        coords_prev = coords
+        coords = coords + dt_x * vels
+        coords, vels = _apply_position_constraints(sys, coords_prev, coords,
+                                                   vels, dt_x)
+        return sys.boundary.wrap(coords), vels
+
     def step(self, sys, neighbors, aux, step_n, key, needs_virial=False):
-        dt = self.dt
-        n_sub = self.n_substeps
-        dt_f = dt / n_sub
-        # slow half kick
-        vels = sys.velocities + 0.5 * dt * _accels(sys, aux["f_slow"])
-        sys = sys.update(velocities=vels)
+        fractions, groups = _mts_fractions(self, sys)
+        n_levels = len(fractions)
+        fl = [aux[f"f_lvl{i}"] for i in range(n_levels)]
+        total_sub = fractions[-1]
+        keys = list(jax.random.split(key, total_sub + 1))
+        key_out = keys.pop()
 
-        sys_fast, sys_slow = _split_fast_slow(sys)
+        def recurse(level, coords, vels, n_parent):
+            n_sub = fractions[level]
+            dt_x = self.dt / n_sub
+            dt_v = 0.5 * dt_x
+            for _ in range(n_sub // n_parent):
+                vels = vels + dt_v * _accels(sys, fl[level])
+                if level == n_levels - 1:
+                    coords, vels = self._coord_update(sys, coords, vels,
+                                                      dt_x, keys.pop())
+                else:
+                    coords, vels = recurse(level + 1, coords, vels, n_sub)
+                fl[level], _ = forces_virial(
+                    groups[level].update(coords=coords), neighbors, step_n)
+                vels = vels + dt_v * _accels(sys, fl[level])
+            return coords, vels
 
-        def inner(carry, _):
-            coords, vels, f_fast = carry
-            vels = vels + 0.5 * dt_f * _accels(sys, f_fast)
-            coords = coords + dt_f * vels
-            f_new, _ = forces_virial(sys_fast.update(coords=coords), None, step_n)
-            vels = vels + 0.5 * dt_f * _accels(sys, f_new)
-            return (coords, vels, f_new), None
-
-        (coords, vels, f_fast), _ = jax.lax.scan(
-            inner, (sys.coords, vels, aux["f_fast"]), None, length=n_sub)
-        coords = sys.boundary.wrap(coords)
+        coords, vels = recurse(0, sys.coords, sys.velocities, 1)
+        vels = _apply_velocity_constraints(sys, coords, vels)
         coords = _place_virtual_sites(sys, coords)
         sys = sys.update(coords=coords, velocities=vels)
-        f_slow, v = forces_virial(sys_slow.update(coords=coords), neighbors,
-                                  step_n, needs_virial=needs_virial)
-        vels = sys.velocities + 0.5 * dt * _accels(sys, f_slow)
-        sys = sys.update(velocities=vels)
-        aux = {**aux, "forces": f_slow + f_fast, "virial": v,
-               "f_slow": f_slow, "f_fast": f_fast}
-        return self._finish_step(sys, neighbors, aux, step_n, key, needs_virial)
+        total = fl[0]
+        for f in fl[1:]:
+            total = total + f
+        aux = {**aux, **{f"f_lvl{i}": fl[i] for i in range(n_levels)},
+               "forces": total}
+        if needs_virial:
+            # virial evaluated with ALL interactions at the final
+            # configuration (simulators.jl:1913-1921)
+            f_all, v = forces_virial(sys, neighbors, step_n,
+                                     needs_virial=True)
+            aux = {**aux, "forces": f_all, "virial": v}
+        sys, aux = self._finish_step(sys, neighbors, aux, step_n, key_out,
+                                     needs_virial)
+        from .coupling import couplers_invalidate_forces
+        if self.coupling and couplers_invalidate_forces(self.coupling):
+            # coupling moved coords/box: refresh the per-level forces too
+            _, groups2 = _mts_fractions(self, sys)
+            for i, g in enumerate(groups2):
+                f, _ = forces_virial(g, neighbors, step_n)
+                aux[f"f_lvl{i}"] = f
+        return sys, aux
 
 
-_register(MTSIntegrator, ["dt", "coupling"], ["n_substeps", "remove_cm"])
+_register(MTSIntegrator, ["dt", "coupling"],
+          ["n_substeps", "pi_fractions", "si_fractions", "gi_fractions",
+           "remove_cm"])
 
 
 @dataclasses.dataclass(frozen=True)
 class MTSLangevinIntegrator(MTSIntegrator):
-    """BAOAB-RESPA: rRESPA with an Ornstein-Uhlenbeck middle step
-    (simulators.jl:1800-1940)."""
+    """BAOAB-RESPA: rRESPA with an Ornstein-Uhlenbeck middle step in the
+    innermost coordinate update (simulators.jl:1789-1798, 1846-1940);
+    per-interaction fractions as in MTSIntegrator."""
 
     dt: float = 0.002
     temperature: float = 300.0
     friction: float = 1.0
     n_substeps: int = dataclasses.field(default=4, metadata={"static": True})
+    pi_fractions: tuple = dataclasses.field(default=(), metadata={"static": True})
+    si_fractions: tuple = dataclasses.field(default=(), metadata={"static": True})
+    gi_fractions: tuple = dataclasses.field(default=(), metadata={"static": True})
     coupling: tuple = ()
     remove_cm: bool = dataclasses.field(default=True, metadata={"static": True})
 
-    def step(self, sys, neighbors, aux, step_n, key, needs_virial=False):
-        dt = self.dt
-        n_sub = self.n_substeps
-        dt_f = dt / n_sub
+    def _coord_update(self, sys, coords, vels, dt_x, key):
         m = sys.masses
         safe_m = jnp.where(m > 0, m, 1.0)
-        vels = sys.velocities + 0.5 * dt * _accels(sys, aux["f_slow"])
-        sys = sys.update(velocities=vels)
-        sys_fast, sys_slow = _split_fast_slow(sys)
-
-        def inner(carry, sub_key):
-            coords, vels, f_fast = carry
-            vels = vels + 0.5 * dt_f * _accels(sys, f_fast)
-            coords = coords + 0.5 * dt_f * vels
-            c1 = jnp.exp(-self.friction * dt_f)
-            sigma = jnp.sqrt(KB * self.temperature / safe_m) * jnp.sqrt(1.0 - c1 ** 2)
-            noise = jax.random.normal(sub_key, vels.shape, dtype=coords.dtype)
-            vels = c1 * vels + jnp.where((m > 0)[:, None],
-                                         sigma[:, None] * noise, 0.0)
-            coords = coords + 0.5 * dt_f * vels
-            f_new, _ = forces_virial(sys_fast.update(coords=coords), None, step_n)
-            vels = vels + 0.5 * dt_f * _accels(sys, f_new)
-            return (coords, vels, f_new), None
-
-        keys = jax.random.split(key, n_sub)
-        (coords, vels, f_fast), _ = jax.lax.scan(
-            inner, (sys.coords, vels, aux["f_fast"]), keys)
-        coords = sys.boundary.wrap(coords)
-        coords = _place_virtual_sites(sys, coords)
-        sys = sys.update(coords=coords, velocities=vels)
-        f_slow, v = forces_virial(sys_slow.update(coords=coords), neighbors,
-                                  step_n, needs_virial=needs_virial)
-        vels = sys.velocities + 0.5 * dt * _accels(sys, f_slow)
-        sys = sys.update(velocities=vels)
-        aux = {**aux, "forces": f_slow + f_fast, "virial": v,
-               "f_slow": f_slow, "f_fast": f_fast}
-        return self._finish_step(sys, neighbors, aux, step_n, key, needs_virial)
+        coords_prev = coords
+        coords = coords + 0.5 * dt_x * vels
+        c1 = jnp.exp(-self.friction * dt_x)
+        sigma = jnp.sqrt(KB * self.temperature / safe_m) * jnp.sqrt(
+            1.0 - c1 ** 2)
+        noise = jax.random.normal(key, vels.shape, dtype=coords.dtype)
+        vels = c1 * vels + jnp.where((m > 0)[:, None],
+                                     sigma[:, None] * noise, 0.0)
+        coords = coords + 0.5 * dt_x * vels
+        coords, vels = _apply_position_constraints(sys, coords_prev, coords,
+                                                   vels, dt_x)
+        return sys.boundary.wrap(coords), vels
 
 
 _register(MTSLangevinIntegrator, ["dt", "temperature", "friction", "coupling"],
-          ["n_substeps", "remove_cm"])
+          ["n_substeps", "pi_fractions", "si_fractions", "gi_fractions",
+           "remove_cm"])

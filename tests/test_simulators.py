@@ -141,3 +141,63 @@ def test_mc_barostat_anisotropic_modes():
         if mode == "semiisotropic":
             # xy stay equal under semi-isotropic coupling
             assert abs(sides[0] - sides[1]) < 1e-5
+
+
+def test_mts_per_interaction_fractions():
+    """Arbitrary per-interaction evaluation fractions (simulators.jl
+    :1616-1940): three-level ladder conserves energy; all-ones reduces to
+    velocity Verlet; invalid fraction sets are rejected."""
+    key = jax.random.PRNGKey(47)
+    boundary = mt.cubic(2.2, dtype=jnp.float64)
+    n_mol = 6
+    coords = mt.place_diatomics(key, boundary, n_mol, bond_length=0.2,
+                                min_dist=0.4, dtype=jnp.float64)
+    n = 2 * n_mol
+    atoms = mt.make_atoms(n=n, mass=10.0, sigma=0.3, epsilon=0.2,
+                          charge=0.0, dtype=jnp.float64)
+    bonds = mt.harmonic_bonds(np.arange(0, n, 2), np.arange(1, n, 2),
+                              k=jnp.full((n_mol,), 5000.0),
+                              r0=jnp.full((n_mol,), 0.2))
+    excl = mt.Exclusions.build(n, excl_pairs=[(2*i, 2*i+1)
+                                              for i in range(n_mol)])
+    vels = mt.remove_cm_motion(atoms.mass, mt.random_velocities(
+        jax.random.PRNGKey(48), atoms.mass, 100.0, dtype=jnp.float64))
+    lj = mt.LennardJones(cutoff=mt.ShiftedForceCutoff(0.9))
+    coul = mt.Coulomb(cutoff=mt.DistanceCutoff(0.9))
+    sys = mt.System(atoms=atoms, coords=coords, boundary=boundary,
+                    velocities=vels, pairwise_inters=(lj, coul),
+                    specific_lists=(bonds,), exclusions=excl)
+
+    # three-level ladder: Coulomb every outer step, LJ twice, bonds 4x
+    sim = mt.MTSIntegrator(dt=0.002, pi_fractions=(2, 1), si_fractions=(4,))
+    e0 = float(mt.total_energy(sys))
+    final, _ = mt.simulate(sys, sim, 100, key=jax.random.PRNGKey(49))
+    e1 = float(mt.total_energy(final))
+    assert abs(e1 - e0) / n < 5e-3
+
+    # all fractions 1 == velocity Verlet step for step
+    sim1 = mt.MTSIntegrator(dt=0.002, pi_fractions=(1, 1),
+                            si_fractions=(1,))
+    out_mts, _ = mt.simulate(sys, sim1, 25, key=jax.random.PRNGKey(50))
+    out_vv, _ = mt.simulate(sys, mt.VelocityVerlet(dt=0.002), 25,
+                            key=jax.random.PRNGKey(50))
+    assert np.allclose(np.asarray(out_mts.coords),
+                       np.asarray(out_vv.coords), atol=1e-10)
+
+    # BAOAB-RESPA with fractions runs finite
+    siml = mt.MTSLangevinIntegrator(dt=0.002, temperature=100.0,
+                                    friction=1.0, pi_fractions=(1, 1),
+                                    si_fractions=(4,))
+    outl, _ = mt.simulate(sys, siml, 50, key=jax.random.PRNGKey(51))
+    assert np.all(np.isfinite(np.asarray(outl.coords)))
+
+    # validation
+    with pytest.raises(ValueError):
+        mt.simulate(sys, mt.MTSIntegrator(
+            dt=0.002, pi_fractions=(2, 2), si_fractions=(4,)), 1)
+    with pytest.raises(ValueError):
+        mt.simulate(sys, mt.MTSIntegrator(
+            dt=0.002, pi_fractions=(2, 1), si_fractions=(3,)), 1)
+    with pytest.raises(ValueError):
+        mt.simulate(sys, mt.MTSIntegrator(
+            dt=0.002, pi_fractions=(1,), si_fractions=(2,)), 1)
