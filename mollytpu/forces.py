@@ -21,12 +21,16 @@ from .spatial import kinetic_energy as _ke
 
 def _pallas_dispatch(sys, nl, neighbors):
     """Use the fused Pallas kernel when the neighbor structure is block
-    pairs, the box is orthorhombic and the interactions are in the fused
-    set."""
+    pairs, the box is orthorhombic or triclinic (3-D; the in-kernel MIC is
+    the reduced-cell back-substitution covering both) and the interactions
+    are in the fused set."""
     if not isinstance(neighbors, BlockPairs):
         return None
-    from .boundary import Orthorhombic
-    if not isinstance(sys.boundary, Orthorhombic):
+    from .boundary import Orthorhombic, Triclinic
+    if isinstance(sys.boundary, Orthorhombic):
+        if sys.boundary.side_lengths.shape[-1] != 3:
+            return None
+    elif not isinstance(sys.boundary, Triclinic):
         return None
     from .ops.pallas_pairwise import build_fused_spec
     return build_fused_spec(nl)

@@ -49,6 +49,83 @@ def _register(cls, data_fields, meta_fields=()):
     return cls
 
 
+def mic_components(boundary, dx, dy, dz):
+    """Minimum-image on component arrays (any shape) via the reduced-cell
+    back-substitution: for a lower-triangular basis (rows a=(h11,0,0),
+    b=(h21,h22,0), c=(h31,h32,h33)) round out the c image first, then b,
+    then a. Orthorhombic is the off-diagonals-zero special case (falls back
+    to independent per-axis rounding, handling open axes); the triclinic
+    form matches Triclinic.approx_images (the reference CUDA tile engine's
+    fractional path, ext/MollyCUDAExt.jl:1193-1292)."""
+    basis = getattr(boundary, "basis", None)
+    if basis is None:
+        sides = boundary.side_lengths
+        out = []
+        for k, d in enumerate((dx, dy, dz)[: int(sides.shape[0])]):
+            box_k = sides[k]
+            periodic = jnp.isfinite(box_k)
+            safe = jnp.where(periodic, box_k, 1.0)
+            out.append(d - jnp.where(periodic,
+                                     jnp.round(d / safe) * box_k, 0.0))
+        while len(out) < 3:
+            out.append((dx, dy, dz)[len(out)])
+        return tuple(out)
+    h11, h22, h33 = basis[0, 0], basis[1, 1], basis[2, 2]
+    h21, h31, h32 = basis[1, 0], basis[2, 0], basis[2, 1]
+    s3 = jnp.round(dz / h33)
+    dx = dx - s3 * h31
+    dy = dy - s3 * h32
+    dz = dz - s3 * h33
+    s2 = jnp.round(dy / h22)
+    dx = dx - s2 * h21
+    dy = dy - s2 * h22
+    s1 = jnp.round(dx / h11)
+    dx = dx - s1 * h11
+    return dx, dy, dz
+
+
+def boundary_perp_widths(boundary):
+    """Host-side perpendicular widths of the cell along each axis normal
+    (= side lengths for orthorhombic; V/|face area| for triclinic) — the
+    correct box sizes for MIC-validity criteria."""
+    basis = getattr(boundary, "basis", None)
+    if basis is None:
+        return np.asarray(jax.device_get(boundary.side_lengths),
+                          dtype=np.float64)
+    h = np.asarray(jax.device_get(basis), dtype=np.float64)
+    vol = abs(np.linalg.det(h))
+    widths = []
+    for k in range(3):
+        u, v = h[(k + 1) % 3], h[(k + 2) % 3]
+        widths.append(vol / np.linalg.norm(np.cross(u, v)))
+    return np.asarray(widths)
+
+
+def kernel_mic_row(boundary, dtype):
+    """(1, 12) SMEM row for the in-kernel back-substitution MIC:
+    [h11,h21,h22,h31,h32,h33, 1/h11,1/h22,1/h33, 0,0,0]. Open orthorhombic
+    axes get a huge stand-in so round() == 0."""
+    basis = getattr(boundary, "basis", None)
+    if basis is None:
+        sides = jnp.asarray(boundary.side_lengths, dtype)
+        if sides.shape[0] < 3:
+            sides = jnp.concatenate(
+                [sides, jnp.full((3 - sides.shape[0],), jnp.inf, dtype)])
+        periodic = jnp.isfinite(sides)
+        big = jnp.where(periodic, sides, 1e30)
+        zeros = jnp.zeros((3,), dtype)
+        row = jnp.concatenate([
+            big[0:1], zeros[0:1], big[1:2], zeros[0:2], big[2:3],
+            1.0 / big, zeros])
+        return row.reshape(1, 12)
+    b = basis.astype(dtype)
+    row = jnp.stack([
+        b[0, 0], b[1, 0], b[1, 1], b[2, 0], b[2, 1], b[2, 2],
+        1.0 / b[0, 0], 1.0 / b[1, 1], 1.0 / b[2, 2],
+        jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype)])
+    return row.reshape(1, 12)
+
+
 @dataclasses.dataclass(frozen=True)
 class BlockPairs:
     """Sorted order + flat work items + work-layout gathered j-tiles."""
@@ -140,8 +217,7 @@ class BlockPairFinder:
         band this finder was sized for?"""
         if self.ref_sides is None:
             return False
-        cur = np.asarray(jax.device_get(boundary.side_lengths),
-                         dtype=np.float64)
+        cur = boundary_perp_widths(boundary)
         ref = np.asarray(self.ref_sides, dtype=np.float64)
         ok = np.isfinite(ref) & np.isfinite(cur)
         if not ok.any():
@@ -170,24 +246,42 @@ class BlockPairFinder:
         the actual configuration (max counts + margin) instead of the density
         estimate — Z-order blocks straddling power-of-2 boundaries can exceed
         the mean estimate by several x."""
-        sides = np.asarray(jax.device_get(boundary.side_lengths), dtype=np.float64)
+        # perpendicular cell widths: == side lengths for orthorhombic, the
+        # correct per-axis thickness for triclinic (geometry sizing + MIC
+        # validity both need widths, not edge lengths)
+        sides = boundary_perp_widths(boundary)
         cs = cell_size or dist_cutoff
-        dims = tuple(int(max(1, math.floor(s / cs))) for s in sides)
+        dims = tuple(int(max(1, math.floor(s / cs))) if np.isfinite(s) else 1
+                     for s in sides)
         quantum = BLOCK * LANES // math.gcd(BLOCK, LANES)
         n_pad = ((n_atoms + quantum - 1) // quantum) * quantum
-        vol = float(np.prod(sides))
-        dens = n_atoms / vol
-        a_blk = (BLOCK / dens) ** (1.0 / 3.0)  # i-cluster cube side estimate
+        vol = float(jax.device_get(boundary.volume()))
         n_blocks = n_pad // BLOCK
+        if np.isfinite(vol) and vol > 0:
+            dens = n_atoms / vol
+            a_blk = (BLOCK / dens) ** (1.0 / 3.0)  # i-cluster cube side est.
+        else:
+            # open/partially-open boundary: no density estimate — size the
+            # candidate capacities conservatively (all-pairs); a coords=
+            # trial build below will shrink the j-list to what is observed
+            dens = 0.0
+            a_blk = float("inf")
         if max_nbr_blocks is None:
-            reach = 2.0 * dist_cutoff + 2.0 * a_blk
-            est = reach ** 3 * dens / BLOCK
-            max_nbr_blocks = int(min(n_blocks, max(8, math.ceil(est * 1.5 + 8))))
+            if dens > 0:
+                reach = 2.0 * dist_cutoff + 2.0 * a_blk
+                est = reach ** 3 * dens / BLOCK
+                max_nbr_blocks = int(min(n_blocks,
+                                         max(8, math.ceil(est * 1.5 + 8))))
+            else:
+                max_nbr_blocks = n_blocks
         max_pairs = min(n_blocks * n_blocks, n_blocks * max_nbr_blocks)
         max_pairs = max(4, ((max_pairs + 3) // 4) * 4)
         if max_jlist is None:
-            est_j = (a_blk + 2.0 * dist_cutoff) ** 3 * dens
-            max_jlist = int(min(n_pad, math.ceil(est_j * 1.4) + LANES))
+            if dens > 0:
+                est_j = (a_blk + 2.0 * dist_cutoff) ** 3 * dens
+                max_jlist = int(min(n_pad, math.ceil(est_j * 1.4) + LANES))
+            else:
+                max_jlist = n_pad
         max_jlist = ((max_jlist + LANES - 1) // LANES) * LANES
         atom_static = None
         if atoms is not None:
@@ -260,6 +354,23 @@ class BlockPairFinder:
             finder = dataclasses.replace(
                 finder, max_jlist=sized_k,
                 max_work_items=int(total_work * 1.25) + 16)
+            # measured-extent hoist upgrade: the density heuristic above is
+            # deliberately conservative; with a real configuration in hand,
+            # enable the hoisted-MIC fast path whenever every observed block
+            # AABB (with 25% growth slack) plus 2*cutoff fits the box. The
+            # per-rebuild extent guard (overflow bit 30) still validates the
+            # true extents every rebuild, so this can never go silently wrong.
+            if not finder.hoist_mic:
+                wrapped = np.asarray(jax.device_get(boundary.wrap(coords)))
+                ordr = np.asarray(jax.device_get(trial.order))
+                sb = wrapped[np.minimum(ordr, n_atoms - 1)].reshape(
+                    n_blocks, BLOCK, -1)
+                maxw = (sb.max(axis=1) - sb.min(axis=1)).max(axis=0)
+                sides_np = np.asarray(sides, dtype=np.float64)[:maxw.shape[0]]
+                if all((not np.isfinite(sides_np[k]))
+                       or maxw[k] * 1.25 + 2.0 * dist_cutoff <= sides_np[k]
+                       for k in range(maxw.shape[0])):
+                    finder = dataclasses.replace(finder, hoist_mic=True)
         return finder
 
     def find(self, coords, boundary, exclusions=None, step_n=0):
@@ -319,19 +430,48 @@ class BlockPairFinder:
         centers = 0.5 * (mins + maxs)
         exts = 0.5 * (maxs - mins)
 
-        # pairwise AABB MIC distance -> candidate j-blocks per i-block
+        # pairwise AABB MIC distance -> candidate j-blocks per i-block.
+        # Orthorhombic: Cartesian AABB gaps under independent per-axis MIC —
+        # an unconditional lower bound on every contained pair distance
+        # (min_m|a+d+mL| >= min_m|a+mL| - |d|, per axis). Triclinic:
+        # per-axis MIC is NOT independent (back-substitution couples axes),
+        # so Cartesian center-gaps are not conservative; use FRACTIONAL
+        # AABBs instead (the reference CUDA tile engine's dedicated
+        # triclinic variant, ext/MollyCUDAExt.jl:1193-1292): per fractional
+        # axis, |f_k|*width_k <= |dr| (width_k = perpendicular cell width),
+        # so dist >= max_k gap_f_k * width_k for any block extent.
         rc2 = self.dist_cutoff ** 2
-        gap2 = jnp.zeros((b, b), dtype=coords.dtype)
-        sides = boundary.side_lengths
-        for k in range(coords.shape[1]):
-            c, e = centers[k], exts[k]
-            dc = c[None, :] - c[:, None]
-            box_k = sides[k]
-            periodic = jnp.isfinite(box_k)
-            safe_box = jnp.where(periodic, box_k, 1.0)
-            dc = dc - jnp.where(periodic, jnp.round(dc / safe_box) * box_k, 0.0)
-            gap = jnp.maximum(jnp.abs(dc) - (e[None, :] + e[:, None]), 0.0)
-            gap2 = gap2 + gap * gap
+        n_sp = coords.shape[1]
+        basis = getattr(boundary, "basis", None)
+        if basis is not None:
+            inv_h = jnp.linalg.inv(basis.astype(s3.dtype))
+            widths = 1.0 / jnp.linalg.norm(inv_h, axis=0)      # (3,)
+            f3 = inv_h.T @ s3                                  # (3, n_pad)
+            f3b = f3.reshape(-1, b, BLOCK)
+            fmins = jnp.min(f3b, axis=2)
+            fmaxs = jnp.max(f3b, axis=2)
+            fcenters = 0.5 * (fmins + fmaxs)
+            fexts = 0.5 * (fmaxs - fmins)
+            gap2 = jnp.zeros((b, b), dtype=coords.dtype)
+            for k in range(n_sp):
+                dfc = fcenters[k][None, :] - fcenters[k][:, None]
+                dfc = dfc - jnp.round(dfc)
+                e = fexts[k]
+                gap = jnp.maximum(jnp.abs(dfc) - (e[None, :] + e[:, None]),
+                                  0.0) * widths[k]
+                gap2 = jnp.maximum(gap2, gap * gap)
+        else:
+            dcs = [centers[k][None, :] - centers[k][:, None]
+                   for k in range(n_sp)]
+            while len(dcs) < 3:
+                dcs.append(jnp.zeros_like(dcs[0]))
+            dcs = mic_components(boundary, *dcs)
+            gap2 = jnp.zeros((b, b), dtype=coords.dtype)
+            for k in range(n_sp):
+                e = exts[k]
+                gap = jnp.maximum(jnp.abs(dcs[k]) - (e[None, :] + e[:, None]),
+                                  0.0)
+                gap2 = gap2 + gap * gap
         interacting = gap2 < rc2  # (B, B) — includes self and both orderings
 
         # compact interacting block pairs to a FLAT list (block-major order):
@@ -365,15 +505,28 @@ class BlockPairFinder:
         def per_lane(v):  # (T,) -> (T/4, 128)
             return jnp.repeat(v.reshape(t4, 4), BLOCK, axis=1)
 
-        d2 = jnp.zeros((t4, 4 * BLOCK), dtype=coords.dtype)
-        for k in range(coords.shape[1]):
-            dc = cxyz[k] - per_lane(centers[k][pair_i])
-            box_k = sides[k]
-            periodic = jnp.isfinite(box_k)
-            safe_box = jnp.where(periodic, box_k, 1.0)
-            dc = dc - jnp.where(periodic, jnp.round(dc / safe_box) * box_k, 0.0)
-            g = jnp.maximum(jnp.abs(dc) - per_lane(exts[k][pair_i]), 0.0)
-            d2 = d2 + g * g
+        if basis is not None:
+            # fractional per-axis gaps (conservative for any extent; see the
+            # block-block culling comment above)
+            fxyz = f3[:, cand_flat].reshape(-1, t4, 4 * BLOCK)
+            d2 = jnp.zeros((t4, 4 * BLOCK), dtype=coords.dtype)
+            for k in range(n_sp):
+                df = fxyz[k] - per_lane(fcenters[k][pair_i])
+                df = df - jnp.round(df)
+                g = jnp.maximum(jnp.abs(df) - per_lane(fexts[k][pair_i]),
+                                0.0) * widths[k]
+                d2 = jnp.maximum(d2, g * g)
+        else:
+            dcs = [cxyz[k] - per_lane(centers[k][pair_i])
+                   for k in range(n_sp)]
+            while len(dcs) < 3:
+                dcs.append(jnp.zeros_like(dcs[0]))
+            dcs = mic_components(boundary, *dcs)
+            d2 = jnp.zeros((t4, 4 * BLOCK), dtype=coords.dtype)
+            for k in range(n_sp):
+                g = jnp.maximum(jnp.abs(dcs[k]) - per_lane(exts[k][pair_i]),
+                                0.0)
+                d2 = d2 + g * g
         keep = (per_lane(pair_ok.astype(jnp.int32)) * (d2 < rc2)
                 ).reshape(-1) > 0                           # (T*BLOCK,)
 
@@ -500,11 +653,21 @@ class BlockPairFinder:
                     | (jnp.minimum(j_overflow, 0x3FF) << 10)
                     | jnp.minimum(work_overflow, 0x3FF))
         if self.hoist_mic:
-            # guard: hoisted per-entry MIC needs extent + 2 rc <= box on
-            # every periodic axis for every block (checked on true extents)
+            # guard: hoisted per-entry MIC needs extent + 2 rc <= box width
+            # on every periodic axis for every block (checked on true
+            # extents; triclinic uses the perpendicular cell widths)
+            basis = getattr(boundary, "basis", None)
+            if basis is None:
+                widths_k = boundary.side_lengths
+            else:
+                vol = jnp.abs(jnp.linalg.det(basis))
+                widths_k = jnp.stack([
+                    vol / jnp.linalg.norm(jnp.cross(basis[(k + 1) % 3],
+                                                    basis[(k + 2) % 3]))
+                    for k in range(3)])
             width = 2.0 * exts  # (3, B) full AABB widths
             for k in range(coords.shape[1]):
-                box_k = sides[k]
+                box_k = widths_k[k]
                 bad = jnp.isfinite(box_k) & jnp.any(
                     width[k] + 2.0 * self.dist_cutoff > box_k)
                 overflow = overflow | (bad.astype(jnp.int32) << 30)

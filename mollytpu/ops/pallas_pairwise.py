@@ -64,36 +64,199 @@ class FusedSpec:
     # accuracy (<6e-7 abs) than the Abramowitz-Stegun form.
     erfc_e: tuple = ()      # Horner coefficients, highest degree first
     erfc_h: tuple = ()
+    # -- alchemical extension (the free-energy production path) --------------
+    # lj_kind:  0 plain, 1 Beutler soft-core, 2 Gapsys soft-core
+    # coul_sc:  0 none,  1 Beutler soft-core, 2 Gapsys soft-core (combined
+    #           with coul_mode: 1 -> soft-cored 1/r, 3 -> soft-cored Ewald)
+    # scale_q:  per-atom charges pre-scaled by scale_elec outside the kernel
+    #           (the Scaled Coulomb family)
+    lj_kind: int = 0
+    lj_alpha: float = 0.0
+    coul_sc: int = 0
+    coul_alpha_sc: float = 0.0
+    coul_sigma_q: float = 0.0
+    scale_q: bool = False
+    scheduler: object = None     # stateless scheduler class instance
+
+    @property
+    def needs_lam(self):
+        """True when per-atom (lambda, role) rows must reach the kernel."""
+        return self.lj_kind != 0 or self.coul_sc != 0
 
 
 def build_fused_spec(inters):
     """Map a tuple of pairwise interactions onto a FusedSpec, or None if any
     interaction is outside the fast-path set."""
+    from .mixing import MinimumMixing
+    from ..free_energy.alchemy import (DefaultLambdaScheduler as _DS)  # noqa
+
     spec = dict(lj_mode=0, lj_rc=0.0, lj_w=1.0, coul_mode=0, coul_rc=0.0,
-                ke=0.0, krf=0.0, crf=0.0, alpha=0.0, coul_w=1.0)
+                ke=0.0, krf=0.0, crf=0.0, alpha=0.0, coul_w=1.0,
+                lj_kind=0, lj_alpha=0.0, coul_sc=0, coul_alpha_sc=0.0,
+                coul_sigma_q=0.0, scale_q=False, scheduler=None)
     cut_max = 0.0
+
+    def _set_scheduler(s):
+        if spec["scheduler"] is None:
+            spec["scheduler"] = s
+            return True
+        return type(spec["scheduler"]) is type(s)
+
+    def _lj_cutoff(c):
+        """Map a cutoff object onto (mode, rc) or None."""
+        if isinstance(c, cut.NoCutoff):
+            return 4, 0.0
+        if isinstance(c, cut.DistanceCutoff):
+            return 1, float(c.dist_cutoff)
+        if isinstance(c, cut.ShiftedPotentialCutoff):
+            return 2, float(c.dist_cutoff)
+        if isinstance(c, cut.ShiftedForceCutoff):
+            return 3, float(c.dist_cutoff)
+        return None
+
     for inter in inters:
-        if isinstance(inter, pw.LennardJones):
+        if isinstance(inter, (pw.LennardJones, pw.LennardJonesSoftCoreBeutler,
+                              pw.LennardJonesSoftCoreGapsys)):
             if spec["lj_mode"]:
                 return None
             if not isinstance(inter.sigma_mixing, LorentzMixing):
                 return None
             if not isinstance(inter.epsilon_mixing, GeometricMixing):
                 return None
-            c = inter.cutoff
-            if isinstance(c, cut.NoCutoff):
-                spec["lj_mode"] = 4
-            elif isinstance(c, cut.DistanceCutoff):
-                spec["lj_mode"], spec["lj_rc"] = 1, float(c.dist_cutoff)
-            elif isinstance(c, cut.ShiftedPotentialCutoff):
-                spec["lj_mode"], spec["lj_rc"] = 2, float(c.dist_cutoff)
-            elif isinstance(c, cut.ShiftedForceCutoff):
-                spec["lj_mode"], spec["lj_rc"] = 3, float(c.dist_cutoff)
-            else:
+            mc = _lj_cutoff(inter.cutoff)
+            if mc is None:
                 return None
+            spec["lj_mode"], spec["lj_rc"] = mc
+            if isinstance(inter, pw.LennardJonesSoftCoreBeutler):
+                if not isinstance(inter.lambda_mixing, MinimumMixing):
+                    return None
+                if not _set_scheduler(inter.scheduler):
+                    return None
+                spec["lj_kind"] = 1
+                spec["lj_alpha"] = float(inter.alpha)
+            elif isinstance(inter, pw.LennardJonesSoftCoreGapsys):
+                if not isinstance(inter.lambda_mixing, MinimumMixing):
+                    return None
+                if not _set_scheduler(inter.scheduler):
+                    return None
+                spec["lj_kind"] = 2
+                spec["lj_alpha"] = float(inter.alpha)
             spec["lj_w"] = float(inter.weight_special)
             if spec["lj_rc"]:
                 cut_max = max(cut_max, spec["lj_rc"])
+            elif spec["lj_kind"]:
+                return None  # soft-core needs a finite cutoff for culling
+        elif isinstance(inter, pw.CoulombSoftCoreBeutler):
+            if spec["coul_mode"]:
+                return None
+            if not isinstance(inter.lambda_mixing, MinimumMixing):
+                return None
+            if not isinstance(inter.sigma_mixing, LorentzMixing):
+                return None
+            if not _set_scheduler(inter.scheduler):
+                return None
+            mc = _lj_cutoff(inter.cutoff)
+            if mc is None or mc[0] not in (1, 4):
+                return None
+            spec.update(coul_mode=1, coul_sc=1,
+                        coul_alpha_sc=float(inter.alpha),
+                        ke=float(inter.coulomb_const),
+                        coul_w=float(inter.weight_special),
+                        coul_rc=mc[1])
+            if mc[1]:
+                cut_max = max(cut_max, mc[1])
+            else:
+                return None
+        elif isinstance(inter, pw.CoulombSoftCoreGapsys):
+            if spec["coul_mode"]:
+                return None
+            if not isinstance(inter.lambda_mixing, MinimumMixing):
+                return None
+            if not _set_scheduler(inter.scheduler):
+                return None
+            mc = _lj_cutoff(inter.cutoff)
+            if mc is None or mc[0] not in (1, 4) or not mc[1]:
+                return None
+            spec.update(coul_mode=1, coul_sc=2,
+                        coul_alpha_sc=float(inter.alpha),
+                        coul_sigma_q=float(inter.sigma_q),
+                        ke=float(inter.coulomb_const),
+                        coul_w=float(inter.weight_special),
+                        coul_rc=mc[1])
+            cut_max = max(cut_max, mc[1])
+        elif isinstance(inter, pw.CoulombSoftCoreBeutlerEwald):
+            if spec["coul_mode"]:
+                return None
+            if not isinstance(inter.lambda_mixing, MinimumMixing):
+                return None
+            if not isinstance(inter.sigma_mixing, LorentzMixing):
+                return None
+            if not _set_scheduler(inter.scheduler):
+                return None
+            spec.update(coul_mode=3, coul_sc=1,
+                        coul_alpha_sc=float(inter.alpha_sc),
+                        coul_rc=float(inter.dist_cutoff),
+                        ke=float(inter.coulomb_const),
+                        alpha=float(inter.alpha),
+                        coul_w=float(inter.weight_special))
+            cut_max = max(cut_max, float(inter.dist_cutoff))
+        elif isinstance(inter, pw.CoulombSoftCoreGapsysEwald):
+            if spec["coul_mode"]:
+                return None
+            if not isinstance(inter.lambda_mixing, MinimumMixing):
+                return None
+            if not _set_scheduler(inter.scheduler):
+                return None
+            spec.update(coul_mode=3, coul_sc=2,
+                        coul_alpha_sc=float(inter.alpha_sc),
+                        coul_sigma_q=float(inter.sigma_q),
+                        coul_rc=float(inter.dist_cutoff),
+                        ke=float(inter.coulomb_const),
+                        alpha=float(inter.alpha),
+                        coul_w=float(inter.weight_special))
+            cut_max = max(cut_max, float(inter.dist_cutoff))
+        elif isinstance(inter, pw.CoulombScaled):
+            if spec["coul_mode"]:
+                return None
+            if not isinstance(inter.cutoff, (cut.NoCutoff,
+                                             cut.DistanceCutoff)):
+                return None
+            if not _set_scheduler(inter.scheduler):
+                return None
+            spec.update(coul_mode=1, scale_q=True,
+                        ke=float(inter.coulomb_const),
+                        coul_w=float(inter.weight_special))
+            if isinstance(inter.cutoff, cut.DistanceCutoff):
+                spec["coul_rc"] = float(inter.cutoff.dist_cutoff)
+                cut_max = max(cut_max, spec["coul_rc"])
+        elif isinstance(inter, pw.CoulombReactionFieldScaled):
+            if spec["coul_mode"]:
+                return None
+            if not _set_scheduler(inter.scheduler):
+                return None
+            rc = float(inter.dist_cutoff)
+            eps_rf = float(inter.solvent_dielectric)
+            if math.isinf(eps_rf):
+                krf = 1.0 / (2.0 * rc ** 3)
+                crf = 3.0 / (2.0 * rc)
+            else:
+                krf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc ** 3)
+                crf = 3.0 * eps_rf / ((2.0 * eps_rf + 1.0) * rc)
+            spec.update(coul_mode=2, scale_q=True, coul_rc=rc,
+                        ke=float(inter.coulomb_const), krf=krf, crf=crf,
+                        coul_w=float(inter.weight_special))
+            cut_max = max(cut_max, rc)
+        elif isinstance(inter, pw.CoulombEwaldScaled):
+            if spec["coul_mode"]:
+                return None
+            if not _set_scheduler(inter.scheduler):
+                return None
+            spec.update(coul_mode=3, scale_q=True,
+                        coul_rc=float(inter.dist_cutoff),
+                        ke=float(inter.coulomb_const),
+                        alpha=float(inter.alpha),
+                        coul_w=float(inter.weight_special))
+            cut_max = max(cut_max, float(inter.dist_cutoff))
         elif isinstance(inter, pw.Coulomb):
             if spec["coul_mode"]:
                 return None
@@ -147,6 +310,148 @@ def build_fused_spec(inters):
         erfc_e = tuple(float(c) for c in ce[::-1])  # highest first (Horner)
         erfc_h = tuple(float(c) for c in ch[::-1])
     return FusedSpec(cut_max=cut_max, erfc_e=erfc_e, erfc_h=erfc_h, **spec)
+
+
+def _pair_terms_alch(spec, r2, inv_r, r, sig, eps, qq, special, dtype,
+                     lam_s, lam_e):
+    """Soft-core energy + coef branches (Beutler/Gapsys LJ and Coulomb,
+    optionally under the Ewald real-space screen) — the alchemical
+    free-energy production path fused into the same tile kernel. lam_s /
+    lam_e are the scheduler-resolved per-pair sterics / electrostatics
+    scales. Formulas match ops/pairwise.py (autodiff reference)."""
+    e = jnp.zeros_like(r2)
+    coef = jnp.zeros_like(r2)
+    one = jnp.asarray(1.0, dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    if spec.lj_mode and spec.lj_kind:
+        sig2 = sig * sig
+        sig6 = sig2 * sig2 * sig2
+        c6 = 4.0 * eps * sig6
+        c12 = c6 * sig6
+        if spec.lj_kind == 1:    # Beutler: R6 = a(1-l)s^6 + r^6
+            shift = spec.lj_alpha * (1.0 - lam_s) * sig6
+
+            def lj_terms(rr2):
+                r6 = jnp.maximum(shift + rr2 * rr2 * rr2, 1e-12)
+                inv6 = 1.0 / r6
+                ee = lam_s * (c12 * inv6 - c6) * inv6
+                cc = 6.0 * lam_s * rr2 * rr2 * (c6 - 2.0 * c12 * inv6) \
+                    * inv6 * inv6
+                return ee, cc
+        else:                    # Gapsys linear-quadratic inner region
+            ratio = jnp.where(c6 > 0, 26.0 * c12 * (1.0 - lam_s)
+                              / (7.0 * jnp.maximum(c6, tiny)), 0.0)
+            r_lj = spec.lj_alpha * jnp.where(
+                ratio > 0, jnp.exp(jnp.log(jnp.maximum(ratio, tiny))
+                                   / 6.0), 0.0)
+            rs = jnp.maximum(r_lj, 1e-6)
+            rs2 = rs * rs
+            inv_rs = 1.0 / rs
+            inv_rs2 = 1.0 / rs2
+            inv_rs6 = inv_rs2 * inv_rs2 * inv_rs2
+            inv_rs12 = inv_rs6 * inv_rs6
+            A = (78.0 * c12 * inv_rs12 * inv_rs2
+                 - 21.0 * c6 * inv_rs6 * inv_rs2)
+            B = (168.0 * c12 * inv_rs12 * inv_rs
+                 - 48.0 * c6 * inv_rs6 * inv_rs)
+            C = 91.0 * c12 * inv_rs12 - 28.0 * c6 * inv_rs6
+
+            def lj_terms(rr2):
+                rr2s = jnp.maximum(rr2, 1e-12)
+                rr = jnp.sqrt(rr2s)
+                inv2 = 1.0 / rr2s
+                inv6 = inv2 * inv2 * inv2
+                inv12 = inv6 * inv6
+                outer_e = c12 * inv12 - c6 * inv6
+                outer_c = -(12.0 * c12 * inv12 - 6.0 * c6 * inv6) * inv2
+                inner_e = (A * rr2s - B * rr) + C
+                inner_c = 2.0 * A - B / rr
+                sel = rr >= r_lj
+                return (lam_s * jnp.where(sel, outer_e, inner_e),
+                        lam_s * jnp.where(sel, outer_c, inner_c))
+
+        e_lj, coef_lj = lj_terms(r2)
+        if spec.lj_mode in (2, 3):
+            rc2 = jnp.full_like(r2, spec.lj_rc * spec.lj_rc)
+            e_rc, coef_rc = lj_terms(rc2)
+            e_lj = e_lj - e_rc
+            if spec.lj_mode == 3:
+                dudr_rc = coef_rc * spec.lj_rc
+                e_lj = e_lj - (r - spec.lj_rc) * dudr_rc
+                coef_lj = coef_lj - dudr_rc * inv_r
+        if spec.lj_mode != 4:
+            inside = r2 < spec.lj_rc * spec.lj_rc
+            e_lj = jnp.where(inside, e_lj, 0.0)
+            coef_lj = jnp.where(inside, coef_lj, 0.0)
+        live = (lam_s > 0) & (eps != 0)
+        w = jnp.where(special, jnp.asarray(spec.lj_w, dtype), one)
+        e = e + jnp.where(live, e_lj, 0.0) * w
+        coef = coef + jnp.where(live, coef_lj, 0.0) * w
+    elif spec.lj_mode:
+        e1, c1 = _pair_terms(dataclasses.replace(spec, coul_mode=0),
+                             r2, inv_r, r, sig, eps, qq, special, dtype)
+        e, coef = e + e1, coef + c1
+
+    if spec.coul_mode and spec.coul_sc:
+        keqq = spec.ke * qq
+        if spec.coul_sc == 1:    # Beutler: RQ = a(1-l)s^6 + r^6
+            sig2c = sig * sig
+            sig6c = sig2c * sig2c * sig2c
+            shift = spec.coul_alpha_sc * (1.0 - lam_e) * sig6c
+            rq = jnp.maximum(shift + r2 * r2 * r2, 1e-18)
+            p = jnp.exp(-jnp.log(rq) / 6.0)   # rq^(-1/6)
+            base_e = lam_e * keqq * p
+            base_c = -lam_e * keqq * r2 * r2 * p / rq
+        else:                    # Gapsys: quadratic inner below rq
+            rq = spec.coul_alpha_sc * jnp.exp(
+                jnp.log(jnp.maximum(1.0 - lam_e, tiny)) / 6.0) * (
+                    1.0 + spec.coul_sigma_q * jnp.abs(qq))
+            rq = jnp.where(lam_e < 1.0, rq, 0.0)
+            rqs = jnp.maximum(rq, 1e-9)
+            inv_rq = 1.0 / rqs
+            inv_rq2 = inv_rq * inv_rq
+            inv_rq3 = inv_rq2 * inv_rq
+            outer_e = keqq * inv_r
+            outer_c = -keqq * inv_r * inv_r * inv_r
+            inner_e = keqq * (inv_rq3 * r2 - 3.0 * inv_rq2 * r
+                              + 3.0 * inv_rq)
+            inner_c = keqq * (2.0 * inv_rq3 - 3.0 * inv_rq2 * inv_r)
+            sel = r >= rq
+            base_e = lam_e * jnp.where(sel, outer_e, inner_e)
+            base_c = lam_e * jnp.where(sel, outer_c, inner_c)
+        if spec.coul_mode == 3:
+            # Ewald screen on the soft-cored base (rational erfc + exp;
+            # d/dr via product rule)
+            ar = spec.alpha * r
+            t = 1.0 / (1.0 + 0.3275911 * ar)
+            poly = (0.254829592 + (-0.284496736 + (1.421413741 +
+                    (-1.453152027 + 1.061405429 * t) * t) * t) * t) * t
+            exp_m = jnp.exp(-ar * ar)
+            erfc_ar = poly * exp_m
+            derfc_r = -2.0 * spec.alpha * INV_SQRT_PI * exp_m * inv_r
+            e_scr = base_e * erfc_ar
+            c_scr = base_c * erfc_ar + base_e * derfc_r
+            e_c = jnp.where(special, base_e * spec.coul_w, e_scr)
+            coef_c = jnp.where(special, base_c * spec.coul_w, c_scr)
+        else:
+            w = jnp.where(special, jnp.asarray(spec.coul_w, dtype), one)
+            e_c = base_e * w
+            coef_c = base_c * w
+        live = lam_e > 0
+        e_c = jnp.where(live, e_c, 0.0)
+        coef_c = jnp.where(live, coef_c, 0.0)
+        if spec.coul_rc:
+            inside = r2 < spec.coul_rc * spec.coul_rc
+            e_c = jnp.where(inside, e_c, 0.0)
+            coef_c = jnp.where(inside, coef_c, 0.0)
+        e = e + e_c
+        coef = coef + coef_c
+    elif spec.coul_mode:
+        e1, c1 = _pair_terms(dataclasses.replace(spec, lj_mode=0),
+                             r2, inv_r, r, sig, eps, qq, special, dtype)
+        e, coef = e + e1, coef + c1
+    return e, coef
 
 
 def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
@@ -243,13 +548,21 @@ def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
 
 
 def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic, use_mask,
-            # scalar prefetch
-            flat_i_ref, row_start_ref, n_items_ref,
-            # inputs (aexcl/aspec are replaced by a mask tile when use_mask)
-            box_ref, cen_ref, ac_ref, as_ref, aexcl_ref, aspec_ref, jc_ref,
-            js_ref,
-            # outputs
-            f_ref, eng_ref, vir_ref):
+            use_lam, *refs):
+    # inputs (aexcl/aspec are replaced by a mask tile when use_mask;
+    # alr/jlr per-atom (lambda, role) rows present only on the alchemical
+    # path)
+    if use_lam:
+        (flat_i_ref, row_start_ref, n_items_ref,
+         box_ref, cen_ref, ac_ref, as_ref, aexcl_ref, aspec_ref, jc_ref,
+         js_ref, alr_ref, jlr_ref,
+         f_ref, eng_ref, vir_ref) = refs
+    else:
+        (flat_i_ref, row_start_ref, n_items_ref,
+         box_ref, cen_ref, ac_ref, as_ref, aexcl_ref, aspec_ref, jc_ref,
+         js_ref,
+         f_ref, eng_ref, vir_ref) = refs
+        alr_ref = jlr_ref = None
     p = pl.program_id(0)
     i = flat_i_ref[p]
     dtype = ac_ref.dtype
@@ -284,13 +597,22 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic, use_mask,
         js = js_ref[...]                   # (4, LANES) sig/sqrt eps/q/id
         bx, by, bz = jc[0] - cx, jc[1] - cy, jc[2] - cz
         if not mic:
-            # per-entry minimum image against the i-block center (valid
-            # when block extent + 2 rc <= box, checked at rebuild)
-            bx0, bx1, bx2 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
-            ib0, ib1, ib2 = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
-            bx = bx - jnp.round(bx * ib0) * bx0
-            by = by - jnp.round(by * ib1) * bx1
-            bz = bz - jnp.round(bz * ib2) * bx2
+            # per-entry minimum image against the i-block center (valid when
+            # block extent + 2 rc <= box width, checked at rebuild).
+            # Back-substitution form: triclinic rounds out the c, then b,
+            # then a image; orthorhombic has zero off-diagonals so the three
+            # cross terms vanish (box row layout: kernel_mic_row).
+            h11, h21, h22 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+            h31, h32, h33 = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+            ih11, ih22, ih33 = box_ref[0, 6], box_ref[0, 7], box_ref[0, 8]
+            s3 = jnp.round(bz * ih33)
+            bx = bx - s3 * h31
+            by = by - s3 * h32
+            bz = bz - s3 * h33
+            s2 = jnp.round(by * ih22)
+            bx = bx - s2 * h21
+            by = by - s2 * h22
+            bx = bx - jnp.round(bx * ih11) * h11
         bsig, beps, bq, b_id = js[0], js[1], js[2], js[3]
         a_c = ac_ref[0]                    # (4, BLOCK) x/y/z wrapped
         a_s = as_ref[0]                    # (4, BLOCK) sig/sqrt eps/q/id
@@ -301,12 +623,19 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic, use_mask,
         dz = bz[None, :] - az[:, None]
         if mic:
             # small-box fallback: per-pair minimum image (the hoisted
-            # per-entry form is invalid when block extent + 2 rc > box)
-            bx0, bx1, bx2 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
-            ib0, ib1, ib2 = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
-            dx = dx - jnp.round(dx * ib0) * bx0
-            dy = dy - jnp.round(dy * ib1) * bx1
-            dz = dz - jnp.round(dz * ib2) * bx2
+            # per-entry form is invalid when block extent + 2 rc > box),
+            # same back-substitution form as above
+            h11, h21, h22 = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+            h31, h32, h33 = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+            ih11, ih22, ih33 = box_ref[0, 6], box_ref[0, 7], box_ref[0, 8]
+            s3 = jnp.round(dz * ih33)
+            dx = dx - s3 * h31
+            dy = dy - s3 * h32
+            dz = dz - s3 * h33
+            s2 = jnp.round(dy * ih22)
+            dx = dx - s2 * h21
+            dy = dy - s2 * h22
+            dx = dx - jnp.round(dx * ih11) * h11
         r2 = dx * dx + dy * dy + dz * dz
 
         a_id = a_s[3]
@@ -343,7 +672,36 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic, use_mask,
         eps = a_s[1][:, None] * beps[None, :]  # sqrt pre-applied
         qq = a_s[2][:, None] * bq[None, :]
 
-        e, coef = _pair_terms(spec, r2s, inv_r, r, sig, eps, qq, special, dtype)
+        if use_lam:
+            # scheduler-resolved per-pair lambda scales (alchemy.py
+            # sterics_lambda / elec_lambda, MinimumMixing): roles ride as
+            # floats (0 core, 1 insert, 2 delete)
+            a_lam = alr_ref[0, 0]
+            a_role = alr_ref[0, 1]
+            b_lam = jlr_ref[0]
+            b_role = jlr_ref[1]
+            lam_mix = jnp.minimum(a_lam[:, None], b_lam[None, :])
+            ri = a_role[:, None]
+            rj = b_role[None, :]
+            same_noncore = (ri == rj) & (ri != 0.0)
+            pair_role = jnp.where((ri == 1.0) | (rj == 1.0), 1.0,
+                                  jnp.where((ri == 2.0) | (rj == 2.0),
+                                            2.0, 0.0))
+            sched = spec.scheduler
+            lam_s = jnp.where(same_noncore, 1.0,
+                              sched.scale_sterics(lam_mix, pair_role))
+            lam_e = jnp.where(same_noncore, 1.0,
+                              sched.scale_elec(lam_mix, pair_role))
+            # dense-path parity: _lj_shortcut zeroes LJ whenever EITHER
+            # atom's per-atom lambda is exactly 0 (dummy atoms), even for
+            # same-noncore pairs whose scheduled lam_s is 1
+            lam_live = (a_lam[:, None] != 0.0) & (b_lam[None, :] != 0.0)
+            lam_s = jnp.where(lam_live, lam_s, 0.0)
+            e, coef = _pair_terms_alch(spec, r2s, inv_r, r, sig, eps, qq,
+                                       special, dtype, lam_s, lam_e)
+        else:
+            e, coef = _pair_terms(spec, r2s, inv_r, r, sig, eps, qq,
+                                  special, dtype)
         coef = jnp.where(live, coef, 0.0)
 
         if mic or os.environ.get("MOLLYTPU_NO_MOMENT"):
@@ -432,13 +790,22 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         jnp.zeros((1, blockpairs.centers.shape[1]), dtype)]
     ).T[:, None, :]                                          # (B, 1, 4)
 
-    a_stat = blockpairs.a_stat
+    # alchemical paths: scaled-charge family pre-scales q per step (the
+    # rebuild-packed statics would be stale across lambda windows)
+    atoms_charge = atoms.charge
+    if spec.scale_q:
+        from ..free_energy.alchemy import scaled_charge
+        atoms_charge = scaled_charge(spec.scheduler, atoms.charge,
+                                     atoms.lam, atoms.alch_role)
+    use_packed = blockpairs.a_stat is not None and not spec.scale_q
+
+    a_stat = blockpairs.a_stat if use_packed else None
     ids_sorted = jnp.where(is_real, order, n).astype(dtype)
     if a_stat is None:
         raw3s = jnp.concatenate([
             atoms.sigma[None, :],
             jnp.sqrt(atoms.epsilon)[None, :],  # geometric mixing via product
-            atoms.charge[None, :],
+            atoms_charge[None, :],
         ]).astype(dtype)
         sorted3s = jnp.where(is_real[None, :], raw3s[:, safe], 0.0)
         stat4 = jnp.concatenate([sorted3s, ids_sorted[None, :]])
@@ -450,18 +817,15 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
     hoist_mic = getattr(finder, "hoist_mic", False)
     fc3 = jnp.concatenate([sorted3c, jnp.zeros((3, 1), dtype)], axis=1)
     j_coords = fc3[:, blockpairs.work_idx]                   # (3, P*LANES)
-    sides = jnp.asarray(boundary.side_lengths, dtype)
-    periodic = jnp.isfinite(sides)
-    # big finite stand-in for open axes so round(dx/box) == 0 in-kernel
-    finite_big = jnp.where(periodic, sides, 1e30)
-    box = jnp.concatenate([finite_big, 1.0 / finite_big]).reshape(1, 6)
+    from .blockpairs import kernel_mic_row
+    box = kernel_mic_row(boundary, dtype)                    # (1, 12)
 
-    j_static = blockpairs.j_static
+    j_static = blockpairs.j_static if use_packed else None
     if j_static is None:
         raw3s = jnp.concatenate([
             atoms.sigma[None, :],
             jnp.sqrt(atoms.epsilon)[None, :],
-            atoms.charge[None, :],
+            atoms_charge[None, :],
         ]).astype(dtype)
         sorted3s = jnp.where(is_real[None, :], raw3s[:, safe], 0.0)
         fs4 = jnp.concatenate([sorted3s, ids_sorted[None, :]])
@@ -469,6 +833,21 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
             [fs4, jnp.asarray([0.0, 0.0, 0.0, n], dtype)[:, None]], axis=1)
         j_static = fs4[:, blockpairs.work_idx]
     j_static = j_static.astype(dtype)
+
+    # per-atom (lambda, role) rows for the soft-core kernel path: built per
+    # step (lambda changes across windows), block + work layouts
+    a_lr = j_lr = None
+    if spec.needs_lam:
+        lam_row = (atoms.lam if atoms.lam is not None
+                   else jnp.ones((n,), dtype))
+        role_row = (atoms.alch_role if atoms.alch_role is not None
+                    else jnp.zeros((n,), jnp.int32))
+        lr2 = jnp.stack([lam_row.astype(dtype),
+                         role_row.astype(dtype)])            # (2, N)
+        lr_sorted = jnp.where(is_real[None, :], lr2[:, safe], 0.0)
+        a_lr = lr_sorted.reshape(2, b, BLOCK).transpose(1, 0, 2)
+        lrp = jnp.concatenate([lr_sorted, jnp.zeros((2, 1), dtype)], axis=1)
+        j_lr = lrp[:, blockpairs.work_idx]                   # (2, P*LANES)
 
     w_excl = int(exclusions.excl_table.shape[1])
     w_spec = int(exclusions.spec_table.shape[1])
@@ -497,23 +876,32 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         spec_spec = pl.BlockSpec((1, BLOCK, w_spec),
                                  lambda p, fi, rs, ni: (fi[p], 0, 0))
 
+    in_specs = [
+        pl.BlockSpec((1, 12), lambda p, fi, rs, ni: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 4), lambda p, fi, rs, ni: (fi[p], 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4, BLOCK),
+                     lambda p, fi, rs, ni: (fi[p], 0, 0)),
+        pl.BlockSpec((1, 4, BLOCK),
+                     lambda p, fi, rs, ni: (fi[p], 0, 0)),
+        excl_spec,
+        spec_spec,
+        pl.BlockSpec((3, LANES), lambda p, fi, rs, ni: (0, p)),
+        pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
+    ]
+    inputs = [box, cen4, a_coords, a_stat, pexcl, pspec, j_coords, j_static]
+    use_lam = spec.needs_lam
+    if use_lam:
+        in_specs.append(pl.BlockSpec((1, 2, BLOCK),
+                                     lambda p, fi, rs, ni: (fi[p], 0, 0)))
+        in_specs.append(pl.BlockSpec((2, LANES),
+                                     lambda p, fi, rs, ni: (0, p)))
+        inputs.extend([a_lr, j_lr])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(p_max,),
-        in_specs=[
-            pl.BlockSpec((1, 6), lambda p, fi, rs, ni: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4), lambda p, fi, rs, ni: (fi[p], 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, BLOCK),
-                         lambda p, fi, rs, ni: (fi[p], 0, 0)),
-            pl.BlockSpec((1, 4, BLOCK),
-                         lambda p, fi, rs, ni: (fi[p], 0, 0)),
-            excl_spec,
-            spec_spec,
-            pl.BlockSpec((3, LANES), lambda p, fi, rs, ni: (0, p)),
-            pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 4, BLOCK), lambda p, fi, rs, ni: (fi[p], 0, 0)),
             pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
@@ -523,7 +911,7 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         ],
     )
     kernel = partial(_kernel, spec, float(n), w_excl, w_spec, compute_energy,
-                     not hoist_mic, use_mask)
+                     not hoist_mic, use_mask, use_lam)
     f4, eng, vir6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -534,7 +922,7 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         ],
         interpret=interpret,
     )(blockpairs.flat_i, blockpairs.row_start, blockpairs.n_items,
-      box, cen4, a_coords, a_stat, pexcl, pspec, j_coords, j_static)
+      *inputs)
 
     # unsort forces to the original atom order by inverse-permutation GATHER
     # (a scatter here costs ~0.4us per element on TPU)
