@@ -46,9 +46,19 @@ def build(dtype=jnp.float32):
                           nonbonded_method="pme", dtype=dtype,
                           constraints="hbonds", rigid_water=True,
                           dist_neighbors=1.0 + SKIN)
-    finder = BlockPairFinder.setup(
-        sys.boundary, 1.0 + SKIN, sys.n_atoms, n_steps=CADENCE,
-        coords=sys.coords, atoms=sys.atoms)
+    if os.environ.get("MOLLYTPU_AUTOTUNE", "0") == "1":
+        # full runtime launch-config sweep (cached on disk after first run;
+        # ~10 min of compiles at this scale, so opt-in — the defaults above
+        # are the sweep's winners for this workload on v5e)
+        from mollytpu.ops.autotune import tuned_block_pairs
+        finder = tuned_block_pairs(
+            sys.boundary, 1.0 + SKIN, sys.n_atoms, coords=sys.coords,
+            atoms=sys.atoms, exclusions=sys.exclusions,
+            inters=sys.pairwise_inters, n_steps=CADENCE)
+    else:
+        finder = BlockPairFinder.setup(
+            sys.boundary, 1.0 + SKIN, sys.n_atoms, n_steps=CADENCE,
+            coords=sys.coords, atoms=sys.atoms)
     vels = mt.random_velocities(jax.random.PRNGKey(1), sys.masses, 300.0,
                                 dtype=dtype)
     return sys.update(neighbor_finder=finder, velocities=vels)

@@ -7,6 +7,7 @@ See SURVEY.md for the reference structural analysis this build tracks.
 """
 
 from . import units
+from .config import report_issue, strictness, describe_env, ENV_FLAGS
 from .atoms import Atoms, AtomData, make_atoms, ALCH_CORE, ALCH_INSERT, ALCH_DELETE
 from .boundary import (
     Orthorhombic, Triclinic, cubic, rectangular, triclinic_from_lengths_angles,

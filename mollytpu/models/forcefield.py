@@ -116,15 +116,16 @@ class ResiduePatchTemplate:
     apply_to_residues: List[str]
 
 
-def _apply_residue_patch(residue, patch, patched_name):
+def _apply_residue_patch(residue, patch, patched_name, strictness=None):
     """Apply a ResiduePatchTemplate to a ResidueTemplate, returning the
     patched template or None if the patch does not fit (reference:
-    residues.jl apply_residue_patch:739-877; invalid patches warn + skip)."""
-    import warnings
+    residues.jl apply_residue_patch:739-877; invalid patches report + skip
+    per the strictness level)."""
+    from ..config import report_issue
 
     def _warn(msg):
-        warnings.warn(f"can't apply patch {patch.name} to residue template "
-                      f"{residue.name}: {msg}")
+        report_issue(f"can't apply patch {patch.name} to residue template "
+                     f"{residue.name}: {msg}", strictness)
 
     atoms = list(residue.atoms)
     bonds = list(residue.bonds)
@@ -269,7 +270,17 @@ class ForceField:
     """Parsed force field. Construct with one or more XML paths (later files
     override/extend earlier ones, as in OpenMM)."""
 
-    def __init__(self, *paths):
+    #: top-level XML tags the parser understands; anything else is reported
+    #: through the strictness system (reference: force_field.jl:808-811)
+    KNOWN_TAGS = frozenset({
+        "Info", "Include", "AtomTypes", "Residues", "Patches",
+        "HarmonicBondForce", "HarmonicAngleForce", "PeriodicTorsionForce",
+        "RBTorsionForce", "CMAPTorsionForce", "NonbondedForce",
+        "LennardJonesForce", "Script",
+    })
+
+    def __init__(self, *paths, strictness=None):
+        self.strictness = strictness
         self.atom_types: Dict[str, AtomType] = {}
         self.residues: Dict[str, ResidueTemplate] = {}
         self.patches: Dict[str, ResiduePatchTemplate] = {}
@@ -306,6 +317,12 @@ class ForceField:
             self._content_hash.update(fh.read())
         tree = ET.parse(path)
         root = tree.getroot()
+        from ..config import report_issue
+        for child in root:
+            if child.tag not in self.KNOWN_TAGS:
+                report_issue(f"ignoring unknown force-field XML entry "
+                             f"{child.tag} in {os.path.basename(path)}",
+                             self.strictness)
         for inc in root.findall("Include"):
             self.load(os.path.join(os.path.dirname(path), inc.attrib["file"]))
         for node in root.findall("AtomTypes/Type"):
@@ -438,7 +455,12 @@ class ForceField:
                 weights = tuple(float(a[k]) for k in sorted(a)
                                 if k.startswith(("p", "wo", "wx", "wy")))
             else:
-                raise ValueError(f"unsupported virtual site type {stype}")
+                # reference: "not currently supported, ignoring"
+                # (force_field.jl:808) — report per strictness and skip
+                from ..config import report_issue
+                report_issue(f"unsupported virtual site type {stype}; "
+                             "ignoring site", self.strictness)
+                continue
             vsites.append(TemplateVirtualSite(stype, sidx, tuple(parents), weights))
         allowed = [p.attrib["name"] for p in rnode.findall("AllowPatch")]
         self.residues[name] = ResidueTemplate(
@@ -448,13 +470,13 @@ class ForceField:
 
     def _parse_patch(self, pnode):
         """<Patch> parsing (reference: force_field.jl:478-521). Multi-residue
-        patches (residues != 1) are skipped with a warning."""
-        import warnings
+        patches (residues != 1) are reported per strictness and skipped."""
+        from ..config import report_issue
         a = pnode.attrib
         pname = a["name"]
         if a.get("residues", "1") != "1":
-            warnings.warn(f"residue patch {pname} alters multiple templates; "
-                          "not supported, ignoring")
+            report_issue(f"residue patch {pname} alters multiple templates; "
+                         "not supported, ignoring", self.strictness)
             return
         patch = ResiduePatchTemplate(pname, [], [], [], [], [], [], [], [])
         for el in pnode:
@@ -504,7 +526,7 @@ class ForceField:
                     suffix += 1
                 patched = _apply_residue_patch(
                     self.residues[res_name], self.patches[pname],
-                    patched_name)
+                    patched_name, self.strictness)
                 if patched is not None:
                     self.residues[patched_name] = patched
 

@@ -1,0 +1,209 @@
+"""Runtime launch-config autotuner for the Pallas block-pair kernel.
+
+TPU analogue of the reference's per-(device, N, box, interaction) tile-shape
+benchmark with a cached global launch config
+(/root/reference/ext/MollyCUDAExt.jl:566-639, `autotune_launch_config` +
+`LAUNCH_CONFIG_CACHE`).  Candidate (block, lanes) tile shapes are timed on
+the live device against the *actual* system configuration — one neighbor
+rebuild (`BlockPairFinder.find`) plus one fused force evaluation
+(`pallas_block_nonbonded`) — and scored by amortized per-step cost
+`t_force + t_find / n_steps` where `n_steps` is the rebuild cadence.  The
+winner is cached in-process and on disk (`~/.cache/mollytpu/autotune.json`)
+keyed by device kind, atom count, box shape, cutoff, dtype and the fused
+interaction signature, so production runs only ever pay the sweep once per
+(machine, workload) pair.
+
+Usage:
+    finder = tuned_block_pairs(boundary, cutoff, n_atoms, coords=coords,
+                               atoms=atoms, exclusions=excl,
+                               inters=nl_inters, n_steps=cadence)
+falls back to a default-shape `BlockPairFinder.setup` whenever the
+interactions are outside the fused set or the sweep is disabled
+(`MOLLYTPU_AUTOTUNE=0`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from .blockpairs import BLOCK as _DEFAULT_BLOCK
+from .blockpairs import LANES as _DEFAULT_LANES
+from .blockpairs import BlockPairFinder
+
+# (block, lanes) sweep candidates.  Blocks are i-cluster sizes (sublane-dim
+# multiples of 8), lanes are j-gather chunk widths (lane-dim multiples of
+# 128).  The set spans the measured optima across system sizes: small blocks
+# win on low-occupancy/small systems, wide lanes win once the j-gather
+# dominates.
+CANDIDATES = (
+    (64, 256),
+    (128, 128),
+    (128, 256),
+    (128, 512),
+    (256, 256),
+    (256, 512),
+)
+
+_CACHE_PATH = os.path.join(
+    os.environ.get("MOLLYTPU_CACHE_DIR",
+                   os.path.expanduser("~/.cache/mollytpu")),
+    "autotune.json")
+
+# in-process cache: key -> (block, lanes)
+_MEM_CACHE = {}
+
+
+def _spec_signature(inters):
+    """Stable signature of the fused-interaction set: class names plus the
+    scalar fields that change the kernel's instruction mix."""
+    parts = []
+    for inter in sorted(inters, key=lambda i: type(i).__name__):
+        name = type(inter).__name__
+        cut = getattr(inter, "cutoff", None)
+        cname = type(cut).__name__ if cut is not None else "-"
+        parts.append(f"{name}/{cname}")
+    return ",".join(parts)
+
+
+def cache_key(n_atoms, boundary, dist_cutoff, inters, dtype, n_steps):
+    dev = jax.devices()[0]
+    mat = np.asarray(jax.device_get(boundary.box_matrix()), dtype=np.float64)
+    box = "x".join(f"{s:.2f}" for s in mat[np.tril_indices(mat.shape[0])])
+    tric = type(boundary).__name__
+    return "|".join([
+        getattr(dev, "device_kind", dev.platform),
+        str(int(n_atoms)),
+        box, tric,
+        f"{float(dist_cutoff):.3f}",
+        np.dtype(dtype).name,
+        str(int(n_steps)),
+        _spec_signature(inters),
+    ])
+
+
+def _load_disk_cache():
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_disk_cache(key, block, lanes, score_ms):
+    data = _load_disk_cache()
+    data[key] = {"block": int(block), "lanes": int(lanes),
+                 "ms_per_step": float(score_ms)}
+    try:
+        os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+        tmp = _CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, _CACHE_PATH)
+    except OSError:
+        pass  # read-only cache dir: in-process cache still holds the result
+
+
+def _time_candidate(finder, coords, boundary, atoms, exclusions, spec,
+                    n_steps, reps):
+    """Amortized ms/step of (find / n_steps + fused force kernel) for one
+    finder shape.  Returns None when the shape overflows or fails."""
+    from .pallas_pairwise import pallas_block_nonbonded
+
+    find_fn = jax.jit(lambda c: finder.find(c, boundary, exclusions))
+    try:
+        nbs = find_fn(coords)
+        if int(jax.device_get(nbs.overflow)) != 0:
+            return None
+    except Exception:
+        return None
+
+    def force_fn(c, nbs):
+        f, _, _ = pallas_block_nonbonded(spec, c, boundary, atoms,
+                                         exclusions, nbs, finder)
+        return f
+
+    force_fn = jax.jit(force_fn)
+    try:
+        jax.block_until_ready(force_fn(coords, nbs))  # compile + warm
+    except Exception:
+        return None
+
+    t_find = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(find_fn(coords))
+        t_find = min(t_find, time.perf_counter() - t0)
+    t_force = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(force_fn(coords, nbs))
+        t_force = min(t_force, time.perf_counter() - t0)
+    return 1e3 * (t_force + t_find / max(1, n_steps))
+
+
+def tune_tile_shape(boundary, dist_cutoff, n_atoms, coords, atoms,
+                    exclusions, inters, n_steps=1, candidates=CANDIDATES,
+                    reps=3, verbose=False):
+    """Sweep candidate tile shapes on the live device; return the winning
+    (block, lanes).  Results are cached in-process and on disk."""
+    key = cache_key(n_atoms, boundary, dist_cutoff, inters,
+                    coords.dtype, n_steps)
+    if key in _MEM_CACHE:
+        return _MEM_CACHE[key]
+    disk = _load_disk_cache().get(key)
+    if disk is not None:
+        shape = (disk["block"], disk["lanes"])
+        _MEM_CACHE[key] = shape
+        return shape
+
+    from .pallas_pairwise import build_fused_spec
+    spec = build_fused_spec(inters)
+    if spec is None:  # outside the fused set: tile shape is irrelevant
+        return (_DEFAULT_BLOCK, _DEFAULT_LANES)
+
+    best, best_ms = (_DEFAULT_BLOCK, _DEFAULT_LANES), np.inf
+    for blk, lanes in candidates:
+        try:
+            finder = BlockPairFinder.setup(
+                boundary, dist_cutoff, n_atoms, n_steps=n_steps,
+                coords=coords, atoms=atoms, block=blk, lanes=lanes)
+        except Exception:
+            continue
+        ms = _time_candidate(finder, coords, boundary, atoms, exclusions,
+                             spec, n_steps, reps)
+        if verbose:
+            print(f"autotune: block={blk} lanes={lanes} -> "
+                  f"{'fail' if ms is None else f'{ms:.3f} ms/step'}",
+                  flush=True)
+        if ms is not None and ms < best_ms:
+            best, best_ms = (blk, lanes), ms
+
+    _MEM_CACHE[key] = best
+    if np.isfinite(best_ms):
+        _store_disk_cache(key, best[0], best[1], best_ms)
+    return best
+
+
+def tuned_block_pairs(boundary, dist_cutoff, n_atoms, coords, atoms=None,
+                      exclusions=None, inters=(), n_steps=1, **setup_kwargs):
+    """Build a `BlockPairFinder` with the autotuned tile shape for this
+    (device, system, interaction) triple.  Falls back to the default shape
+    when `MOLLYTPU_AUTOTUNE=0`, the interactions are outside the fused set,
+    or the sweep fails."""
+    if os.environ.get("MOLLYTPU_AUTOTUNE", "1") != "0" and inters:
+        nl = tuple(i for i in inters
+                   if getattr(i, "use_neighbors", False))
+        blk, lanes = tune_tile_shape(
+            boundary, dist_cutoff, n_atoms, coords, atoms, exclusions,
+            nl or inters, n_steps=n_steps,
+            verbose=os.environ.get("MOLLYTPU_AUTOTUNE_VERBOSE", "0") == "1")
+    else:
+        blk, lanes = _DEFAULT_BLOCK, _DEFAULT_LANES
+    return BlockPairFinder.setup(
+        boundary, dist_cutoff, n_atoms, n_steps=n_steps, coords=coords,
+        atoms=atoms, block=blk, lanes=lanes, **setup_kwargs)

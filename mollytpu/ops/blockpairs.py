@@ -33,11 +33,14 @@ import numpy as np
 
 import os
 
-# atoms per i-cluster (sorted-order granularity) and j-chunk width of one
-# kernel grid step. Env-overridable for autotune sweeps; the kernel's total
-# pair-slot count grows with BLOCK while the per-step j-gather volume and
-# grid dispatch count shrink as 1/BLOCK (measured optimum on the 19.7k-atom
-# LJ benchmark: BLOCK=128, LANES=256).
+# Default atoms per i-cluster (sorted-order granularity) and j-chunk width
+# of one kernel grid step. Env-overridable; per-finder values (set by
+# BlockPairFinder.setup(block=..., lanes=...) or the runtime autotuner in
+# ops/autotune.py — the reference's per-(device, N, box, inters) tuned
+# launch config, ext/MollyCUDAExt.jl:566-639) take precedence. The kernel's
+# total pair-slot count grows with BLOCK while the per-step j-gather volume
+# and grid dispatch count shrink as 1/BLOCK (measured optimum on the
+# 19.7k-atom LJ benchmark: BLOCK=128, LANES=256).
 BLOCK = int(os.environ.get("MOLLYTPU_BLOCK", "128"))
 LANES = int(os.environ.get("MOLLYTPU_LANES", "256"))
 
@@ -209,6 +212,10 @@ class BlockPairFinder:
     ref_sides: tuple = dataclasses.field(default=None, metadata={"static": True})
     resetup_drift: float = dataclasses.field(default=0.05,
                                              metadata={"static": True})
+    # per-finder tile shape (runtime-tunable launch config); defaults to the
+    # module-level env values so existing callers are unchanged
+    block: int = dataclasses.field(default=BLOCK, metadata={"static": True})
+    lanes: int = dataclasses.field(default=LANES, metadata={"static": True})
 
     is_block_finder = True
 
@@ -232,20 +239,23 @@ class BlockPairFinder:
         return type(self).setup(
             boundary, self.dist_cutoff, n_atoms, n_steps=self.n_steps,
             coords=coords,
-            atoms=atoms if self.atom_static is not None else None)
+            atoms=atoms if self.atom_static is not None else None,
+            block=self.block, lanes=self.lanes)
 
     @property
     def n_blocks(self):
-        return self.n_pad // BLOCK
+        return self.n_pad // self.block
 
     @classmethod
     def setup(cls, boundary, dist_cutoff, n_atoms, n_steps=1,
               max_nbr_blocks=None, max_jlist=None, cell_size=None, coords=None,
-              atoms=None, margin_blocks=4):
+              atoms=None, margin_blocks=4, block=None, lanes=None):
         """If `coords` is given, capacities are sized from a trial build on
         the actual configuration (max counts + margin) instead of the density
         estimate — Z-order blocks straddling power-of-2 boundaries can exceed
         the mean estimate by several x."""
+        BLOCK = int(block) if block else globals()["BLOCK"]
+        LANES = int(lanes) if lanes else globals()["LANES"]
         # perpendicular cell widths: == side lengths for orthorhombic, the
         # correct per-axis thickness for triclinic (geometry sizing + MIC
         # validity both need widths, not edge lengths)
@@ -322,7 +332,8 @@ class BlockPairFinder:
                      grid_dims=dims, sort_dims=sort_dims, n_pad=n_pad,
                      max_pairs=max_pairs, max_jlist=max_jlist,
                      n_steps=n_steps, hoist_mic=hoist_mic,
-                     ref_sides=tuple(float(s) for s in sides))
+                     ref_sides=tuple(float(s) for s in sides),
+                     block=BLOCK, lanes=LANES)
         if coords is not None:
             trial = _trial_find(finder, coords, boundary)
             pair_over = int(jax.device_get(trial.overflow)) >> 20
@@ -374,6 +385,7 @@ class BlockPairFinder:
         return finder
 
     def find(self, coords, boundary, exclusions=None, step_n=0):
+        BLOCK, LANES = self.block, self.lanes
         n = coords.shape[0]
         n_pad = self.n_pad
         frac = boundary.fractional(boundary.wrap(coords))
@@ -684,7 +696,7 @@ class BlockPairFinder:
 _register(BlockPairFinder, ["dist_cutoff", "atom_static"],
           ["grid_dims", "sort_dims", "n_pad", "max_pairs", "max_jlist",
            "max_work_items", "n_steps", "hoist_mic", "ref_sides",
-           "resetup_drift"])
+           "resetup_drift", "block", "lanes"])
 
 
 def decode_overflow(ov):

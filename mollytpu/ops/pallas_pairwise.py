@@ -34,7 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .blockpairs import BLOCK, BlockPairs, BlockPairFinder
+from .blockpairs import (BLOCK as _DEFAULT_BLOCK, LANES as _DEFAULT_LANES,
+                         BlockPairs, BlockPairFinder)
 from . import cutoffs as cut
 from . import pairwise as pw
 from .mixing import LorentzMixing, GeometricMixing
@@ -752,11 +753,13 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                            interpret=None):
     """Run the fused kernel. Returns (forces (N, 3), energy, virial (3, 3)).
 
-    Tile shape: (BLOCK=32 i-atoms) x (LANES=128 gathered j-atoms). The j-side
-    is an XLA gather over the finder's per-block atom lists, so tiles carry
-    ~10% real pairs instead of the ~3% of block-granular lists.
+    Tile shape: (BLOCK i-atoms) x (LANES gathered j-atoms), both per-finder
+    launch-config parameters (runtime-autotunable, ops/autotune.py). The
+    j-side is an XLA gather over the finder's per-block atom lists, so tiles
+    carry ~10% real pairs instead of the ~3% of block-granular lists.
     """
-    from .blockpairs import LANES
+    BLOCK = getattr(finder, "block", None) or _DEFAULT_BLOCK
+    LANES = getattr(finder, "lanes", None) or _DEFAULT_LANES
 
     n = coords.shape[0]
     dtype = coords.dtype

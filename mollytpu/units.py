@@ -54,6 +54,81 @@ def kelvin_to_energy(temp):
     return KB * temp
 
 
+# -- API-edge unit conversion / checking -------------------------------------
+#
+# The reference accepts Unitful quantities at its API edge and converts (or
+# errors) there (src/units.jl). The TPU-native equivalent: values entering
+# the framework are converted ONCE, host-side, by name — `to_internal(2.0,
+# "fs")` — with unknown or dimensionally inconsistent unit strings raising
+# immediately. Device arrays stay raw floats in internal units.
+
+#: unit string -> factor converting INTO the internal unit of its dimension.
+#: Aliases included (Å, amu, kcal/mol/A, ...). All factors are exact or
+#: CODATA-2018 derived.
+UNITS = {
+    # length -> nm
+    "nm": 1.0, "angstrom": ANGSTROM, "Å": ANGSTROM, "A": ANGSTROM,
+    "pm": 1e-3, "um": 1e3, "m": 1e9,
+    # time -> ps
+    "ps": 1.0, "fs": FEMTOSECOND, "ns": NANOSECOND, "us": 1e6, "s": 1e12,
+    # mass -> u
+    "u": 1.0, "amu": 1.0, "g/mol": 1.0, "kg": AVOGADRO * 1e3,
+    # energy -> kJ/mol
+    "kJ/mol": 1.0, "kj/mol": 1.0, "kcal/mol": KCAL, "J/mol": 1e-3,
+    "eV": EV, "ev": EV, "hartree": 2625.4996394798254,
+    # charge -> e
+    "e": 1.0, "C": 6.241509074460763e18,
+    # temperature -> K
+    "K": 1.0,
+    # pressure -> kJ/(mol*nm^3)
+    "bar": BAR, "atm": ATM, "Pa": BAR * 1e-5, "kPa": BAR * 1e-2,
+    "MPa": BAR * 10.0, "kJ/mol/nm^3": 1.0,
+    # force -> kJ/(mol*nm)
+    "kJ/mol/nm": 1.0, "kcal/mol/angstrom": KCAL / ANGSTROM,
+    "kcal/mol/A": KCAL / ANGSTROM,
+    # spring constant -> kJ/(mol*nm^2)
+    "kJ/mol/nm^2": 1.0, "kcal/mol/angstrom^2": KCAL / ANGSTROM ** 2,
+    "kcal/mol/A^2": KCAL / ANGSTROM ** 2,
+    # velocity -> nm/ps
+    "nm/ps": 1.0, "angstrom/fs": ANGSTROM / FEMTOSECOND, "m/s": 1e-3,
+    # angle -> rad
+    "rad": 1.0, "deg": 0.017453292519943295,
+    # frequency / rate -> 1/ps
+    "1/ps": 1.0, "THz": 1.0, "1/fs": 1e3, "1/ns": 1e-3, "1/s": 1e-12,
+}
+
+
+def to_internal(value, unit):
+    """Convert `value` expressed in `unit` into internal units. Raises
+    ValueError for unknown unit strings — the API-edge unit check."""
+    try:
+        return value * UNITS[unit]
+    except KeyError:
+        raise ValueError(
+            f"unknown unit {unit!r}; known units: {sorted(UNITS)}") from None
+
+
+def from_internal(value, unit):
+    """Convert an internal-units `value` into `unit` (for output/interop)."""
+    try:
+        return value / UNITS[unit]
+    except KeyError:
+        raise ValueError(
+            f"unknown unit {unit!r}; known units: {sorted(UNITS)}") from None
+
+
+def parse(text):
+    """Parse a "<number> <unit>" string ("2.5 fs", "300 K", "1.2kcal/mol")
+    into internal units. The Unitful-at-the-edge analogue for config files
+    and CLI surfaces."""
+    import re
+    m = re.fullmatch(r"\s*([-+0-9.eE]+)\s*(\S+)\s*", text)
+    if not m:
+        raise ValueError(f"can't parse quantity {text!r}; "
+                         "expected '<number> <unit>'")
+    return to_internal(float(m.group(1)), m.group(2))
+
+
 def ps_per_step_to_ns_per_day(dt_ps, seconds_per_step):
     """Throughput helper: simulated ns/day given wall seconds per MD step."""
     steps_per_day = 86400.0 / seconds_per_step
