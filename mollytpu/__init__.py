@@ -44,6 +44,7 @@ from .ops.bonded import (
     SpecificList, harmonic_bonds, morse_bonds, fene_bonds, harmonic_angles,
     cosine_angles, urey_bradleys, periodic_torsions, rb_torsions,
     harmonic_torsions, position_restraints, specific_energy, specific_forces,
+    all_specific_forces,
 )
 from .ops.general import GeneralInteraction, MullerBrown, LJDispersionCorrection
 from .ops.neighbors import (

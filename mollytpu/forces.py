@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .ops import nonbonded
-from .ops.bonded import specific_energy, specific_forces
+from .ops.bonded import all_specific_forces, specific_energy
 from .ops.celltiles import CellTiles, tile_energy, tile_forces
 from .ops.blockpairs import BlockPairs
 from .spatial import kinetic_energy as _ke
@@ -104,8 +104,9 @@ def forces_virial(sys, neighbors=None, step_n=0, needs_virial=False):
                                              velocities=sys.velocities, step_n=step_n,
                                              needs_virial=needs_virial)
         fs, vir = fs + f, vir + v
-    for slist in sys.specific_lists:
-        f, v = specific_forces(slist, coords, boundary, needs_virial=needs_virial)
+    if sys.specific_lists:
+        f, v = all_specific_forces(sys.specific_lists, coords, boundary,
+                                   needs_virial=needs_virial)
         fs, vir = fs + f, vir + v
     for gi in sys.general_inters:
         f, v = gi.force_virial(coords, boundary, atoms, needs_virial=needs_virial)

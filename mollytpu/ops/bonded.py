@@ -267,13 +267,22 @@ def _pad_single_term(slist: SpecificList) -> SpecificList:
     return dataclasses.replace(slist, atom_idx=idx, params=params)
 
 
+def _gather_terms(coords, atom_idx):
+    """(K, A, D) gathered term coordinates via the batched row-gather form
+    (coords.T[:, idx] runs at ~0.4 ns/element on TPU; the direct
+    coords[idx2d] row gather lowers ~20x slower)."""
+    k, a = atom_idx.shape
+    g = coords.T[:, atom_idx.reshape(-1)]          # (D, K*A)
+    return jnp.moveaxis(g.reshape(coords.shape[1], k, a), 0, -1)
+
+
 def specific_energy(slist: SpecificList, coords, boundary):
     """Total energy of all terms in the list."""
     if slist.n_terms == 0:
         return jnp.zeros((), dtype=coords.dtype)
     slist = _pad_single_term(slist)
     fn = TERM_FUNCS[slist.kind]
-    gathered = coords[slist.atom_idx]  # (K, A, 3)
+    gathered = _gather_terms(coords, slist.atom_idx)  # (K, A, 3)
 
     def one(c, p):
         w = p["weight"]
@@ -284,41 +293,60 @@ def specific_energy(slist: SpecificList, coords, boundary):
     return jnp.sum(energies)
 
 
-def specific_forces(slist: SpecificList, coords, boundary, needs_virial=False):
-    """(forces (N,3), virial (3,3)) contribution of the list.
-
-    Virial per term: W += sum_a dr_a (x) f_a with dr_a the MIC vector from
-    the term's first atom to atom a — the reference-atom scheme of
-    src/force.jl:1079-1194.
-    """
-    n = coords.shape[0]
-    zero_vir = jnp.zeros((3, 3), dtype=coords.dtype)
-    if slist.n_terms == 0:
-        return jnp.zeros_like(coords), zero_vir
-    slist = _pad_single_term(slist)
+def _term_grads(slist: SpecificList, coords, boundary):
+    """(gathered (K, A, 3), term forces -dE/dx (K, A, 3)) for one list."""
     fn = TERM_FUNCS[slist.kind]
-    gathered = coords[slist.atom_idx]  # (K, A, 3)
+    gathered = _gather_terms(coords, slist.atom_idx)
 
     def one(c, p):
         w = p["weight"]
         pp = {k: v for k, v in p.items() if k != "weight"}
         return w * fn(c, boundary, pp)
 
-    grads = jax.vmap(jax.grad(one))(gathered, slist.params)  # (K, A, 3)
-    term_forces = -grads
-    flat_f = term_forces.reshape(-1, coords.shape[-1])
-    flat_idx = slist.atom_idx.reshape(-1)
-    # .at[].add: one scatter of K*arity rows. Measured FASTER on TPU than a
-    # per-atom incidence gather-sum (0.58 vs 2.7 ms on the 6mrr bonded set —
-    # the (3, N, M) gather lowers poorly), and ~400x faster than
-    # jax.ops.segment_sum.
-    forces = jnp.zeros((n, flat_f.shape[1]), flat_f.dtype).at[flat_idx].add(
-        flat_f)
-    if needs_virial:
-        ref = gathered[:, :1, :]
-        rel = jax.vmap(jax.vmap(boundary.displacement, in_axes=(0, 0)),
-                       in_axes=(0, 0))(jnp.broadcast_to(ref, gathered.shape), gathered)
-        vir = jnp.einsum("kad,kae->de", rel, term_forces)
-    else:
-        vir = zero_vir
+    grads = jax.vmap(jax.grad(one))(gathered, slist.params)
+    return gathered, -grads
+
+
+def all_specific_forces(slists, coords, boundary, needs_virial=False):
+    """(forces (N,3), virial (3,3)) of ALL bonded lists with ONE fused
+    scatter-add over the concatenated term rows (the reference evaluates
+    per-arity loops with atomic adds, src/force.jl:971-1194; on TPU each
+    separate scatter pays a full pass over the (N,3) accumulator, so the
+    6 per-family scatters of the naive loop cost more than the math)."""
+    n = coords.shape[0]
+    d = coords.shape[1]
+    vir = jnp.zeros((3, 3), dtype=coords.dtype)
+    idx_parts, f_parts = [], []
+    for slist in slists:
+        if slist.n_terms == 0:
+            continue
+        slist = _pad_single_term(slist)
+        gathered, term_forces = _term_grads(slist, coords, boundary)
+        idx_parts.append(slist.atom_idx.reshape(-1))
+        f_parts.append(term_forces.reshape(-1, d))
+        if needs_virial:
+            ref = gathered[:, :1, :]
+            rel = jax.vmap(jax.vmap(boundary.displacement, in_axes=(0, 0)),
+                           in_axes=(0, 0))(
+                jnp.broadcast_to(ref, gathered.shape), gathered)
+            vir = vir + jnp.einsum("kad,kae->de", rel, term_forces)
+    if not idx_parts:
+        return jnp.zeros_like(coords), vir
+    # one scatter of sum(K_l * arity_l) rows — measured faster on TPU than a
+    # per-atom incidence gather-sum and ~400x faster than
+    # jax.ops.segment_sum
+    flat_idx = jnp.concatenate(idx_parts)
+    flat_f = jnp.concatenate(f_parts)
+    forces = jnp.zeros((n, d), flat_f.dtype).at[flat_idx].add(flat_f)
     return forces, vir
+
+
+def specific_forces(slist: SpecificList, coords, boundary, needs_virial=False):
+    """(forces (N,3), virial (3,3)) contribution of one list.
+
+    Virial per term: W += sum_a dr_a (x) f_a with dr_a the MIC vector from
+    the term's first atom to atom a — the reference-atom scheme of
+    src/force.jl:1079-1194.
+    """
+    return all_specific_forces((slist,), coords, boundary,
+                               needs_virial=needs_virial)

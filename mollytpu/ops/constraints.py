@@ -174,6 +174,12 @@ class SHAKERattle:
     # 1.0 (undamped) converges to ~1e-11 for the standard <=3-coupled
     # clusters (water triangles, CH3) within 60 sweeps.
     omega: float = dataclasses.field(default=1.0, metadata={"static": True})
+    # Newton iteration count for the exact cluster SHAKE solve (quadratic
+    # convergence: MD-sized violations reach ~1e-14 in 3; 5 covers
+    # far-off-manifold test inputs). Unrolled at trace time — the body is a
+    # short fused elementwise chain, so 5 unrolled iterations cost ~100x
+    # less than 60 sequential fori_loop trips of the old Jacobi sweep.
+    newton_iters: int = dataclasses.field(default=5, metadata={"static": True})
 
     @property
     def n_constraints(self) -> int:
@@ -270,10 +276,56 @@ class SHAKERattle:
                                   jnp.moveaxis(xj, 0, -1))
         return jnp.moveaxis(d, -1, 0)
 
+    @staticmethod
+    def _solve_small(C, r):
+        """Solve the per-cluster mc x mc linear system C k = r (mc <= 3) in
+        closed form, vectorized over clusters. C is a list-of-lists of (C,)
+        arrays, r a list of (C,) arrays. Returns the solution list."""
+        mc = len(r)
+        if mc == 1:
+            return [r[0] / jnp.where(jnp.abs(C[0][0]) > 1e-12,
+                                     C[0][0], 1e-12)]
+        if mc == 2:
+            det = C[0][0] * C[1][1] - C[0][1] * C[1][0]
+            det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+            return [(r[0] * C[1][1] - r[1] * C[0][1]) / det,
+                    (C[0][0] * r[1] - C[1][0] * r[0]) / det]
+        a, bb, c = C[0]
+        d, e, f = C[1]
+        g, h, i = C[2]
+        co00 = e * i - f * h
+        co01 = c * h - bb * i
+        co02 = bb * f - c * e
+        co10 = f * g - d * i
+        co11 = a * i - c * g
+        co12 = c * d - a * f
+        co20 = d * h - e * g
+        co21 = bb * g - a * h
+        co22 = a * e - bb * d
+        det = a * co00 + bb * co10 + c * co20
+        det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+        return [(r[0] * co00 + r[1] * co01 + r[2] * co02) / det,
+                (r[0] * co10 + r[1] * co11 + r[2] * co12) / det,
+                (r[0] * co20 + r[1] * co21 + r[2] * co22) / det]
+
     def _cluster_positions(self, coords_prev, coords_new, inv_m, boundary):
+        """Exact cluster SHAKE: Newton on the multiplier vector with a
+        closed-form <=3x3 linear solve per iteration (the XLA recast of the
+        reference's analytic M-SHAKE cluster solves,
+        /root/reference/src/constraints/shake.jl:234-470).
+
+        The corrected positions are linear in the multipliers
+            x_a = x_in_a - im_a * sum_t lam_t S(a,t) rref_t
+        (S(a,t) = +1 for the i slot of constraint t, -1 for j), so the
+        constraint displacements dr_s = dr_in_s - sum_t lam_t c_{s,t} rref_t
+        are tracked directly and positions materialize once at the end.
+        Quadratic convergence: 3 iterations reach ~1e-14 for MD-step-sized
+        violations (vs 60 sequential Jacobi sweeps before — the sweeps were
+        ~30% of the whole 6mrr step)."""
         out = coords_new
         for b in self.clusters:
             pat = b.pattern
+            mc = len(pat)
             x0 = self._bucket_read_t(coords_prev, b)       # (MA, 3, C)
             x_in = self._bucket_read_t(coords_new, b)
             im = self._bucket_read_scalar_t(inv_m, b)      # (MA, C)
@@ -281,20 +333,51 @@ class SHAKERattle:
             rref = [self._disp_t(boundary, x0[sj], x0[si])
                     for (si, sj) in pat]                   # i - j per slot
 
-            def sweep(_, x):
-                for s, (si, sj) in enumerate(pat):
-                    dr = self._disp_t(boundary, x[sj], x[si])
-                    diff = jnp.sum(dr * dr, axis=0) - d0[s] * d0[s]
-                    denom = 2.0 * (im[si] + im[sj]) * jnp.sum(
-                        dr * rref[s], axis=0)
-                    denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-                    g = self.omega * diff / denom          # (C,)
-                    x = x.at[si].add(-(g * im[si])[None, :] * rref[s])
-                    x = x.at[sj].add((g * im[sj])[None, :] * rref[s])
-                return x
+            def sgn(a, t):
+                ti, tj = pat[t]
+                return 1.0 if a == ti else (-1.0 if a == tj else 0.0)
 
-            x = jax.lax.fori_loop(0, self.n_iters, sweep, x_in)
-            out = self._bucket_writeback_t(out, b, x - x_in)
+            # c_{s,t}: how lam_t moves dr_s (via both endpoint masses)
+            cst = [[None] * mc for _ in range(mc)]
+            for s, (si, sj) in enumerate(pat):
+                for t in range(mc):
+                    w = sgn(si, t) * im[si] - sgn(sj, t) * im[sj]
+                    cst[s][t] = w if not (isinstance(w, float) and w == 0.0) \
+                        else None
+
+            drs = [self._disp_t(boundary, x_in[sj], x_in[si])
+                   for (si, sj) in pat]
+            lam = [jnp.zeros_like(d0[s]) for s in range(mc)]
+            for _ in range(self.newton_iters):
+                res = [jnp.sum(drs[s] * drs[s], axis=0) - d0[s] * d0[s]
+                       for s in range(mc)]
+                A = [[(2.0 * cst[s][t] * jnp.sum(drs[s] * rref[t], axis=0))
+                      if cst[s][t] is not None else jnp.zeros_like(res[0])
+                      for t in range(mc)] for s in range(mc)]
+                delta = self._solve_small(A, res)
+                for s in range(mc):
+                    lam[s] = lam[s] + delta[s]
+                    upd = None
+                    for t in range(mc):
+                        if cst[s][t] is None:
+                            continue
+                        term = (delta[t] * cst[s][t])[None, :] * rref[t]
+                        upd = term if upd is None else upd + term
+                    drs[s] = drs[s] - upd
+
+            # materialize per-slot position deltas once
+            deltas = []
+            for a in range(x_in.shape[0]):
+                acc = None
+                for t in range(mc):
+                    w = sgn(a, t)
+                    if w == 0.0:
+                        continue
+                    term = (w * lam[t] * im[a])[None, :] * rref[t]
+                    acc = term if acc is None else acc + term
+                deltas.append(-acc if acc is not None
+                              else jnp.zeros_like(x_in[a]))
+            out = self._bucket_writeback_t(out, b, jnp.stack(deltas))
         return out
 
     def _cluster_velocities(self, coords, vels, inv_m, boundary):
@@ -470,7 +553,7 @@ jax.tree_util.register_dataclass(
     SHAKERattle,
     data_fields=["idx_i", "idx_j", "dists", "atom_cons", "atom_sign",
                  "clusters"],
-    meta_fields=["n_iters", "vel_iters", "omega"],
+    meta_fields=["n_iters", "vel_iters", "omega", "newton_iters"],
 )
 
 

@@ -53,65 +53,80 @@ def _make_chunk_fn(simulator, needs_virial, finder=None, align=0):
     align = step0 % r must be passed statically (it shapes the program); the
     caller knows step0 on the host.
     """
-    def step_body(carry, i):
-        sys, neighbors, aux, key = carry
-        key, sub = jax.random.split(key)
-        sys, aux = simulator.step(sys, neighbors, aux, i, sub,
-                                  needs_virial=needs_virial)
-        return (sys, neighbors, aux, key), None
-
     r = getattr(finder, "n_steps", 1) if finder is not None else 1
 
+    # Carry discipline: the scans thread ONLY the state a step can mutate —
+    # coords, velocities, boundary (barostats), aux, key. Everything static
+    # (atom parameters, topology lists, exclusion tables, the neighbor
+    # structure within a rebuild period) is CLOSED OVER, so XLA never has to
+    # prove tens of MB of pytree leaves loop-invariant (the neighbor
+    # pair_mask alone is ~50 MB on the 6mrr system; round-tripping it
+    # through the while-loop carry was a measurable share of the bare-step
+    # floor).
     def run_chunk(sys, neighbors, aux, key, step0, n):
-        carry = (sys, neighbors, aux, key)
+        def steps_only(sys, neighbors, aux, key, step0_, k):
+            def body(c, i):
+                coords, vels, bnd, aux, key = c
+                s = sys.update(coords=coords, velocities=vels, boundary=bnd)
+                key, sub = jax.random.split(key)
+                s, aux = simulator.step(s, neighbors, aux, i, sub,
+                                        needs_virial=needs_virial)
+                return (s.coords, s.velocities, s.boundary, aux, key), None
+
+            (coords, vels, bnd, aux, key), _ = jax.lax.scan(
+                body, (sys.coords, sys.velocities, sys.boundary, aux, key),
+                step0_ + jnp.arange(k))
+            return (sys.update(coords=coords, velocities=vels, boundary=bnd),
+                    aux, key)
+
         if finder is None or neighbors is None or r <= 1:
             # per-step maybe_rebuild (r == 1 means rebuild every step anyway)
             def body(c, i):
-                sys, neighbors, aux, key = c
+                s, neighbors, aux, key = c
                 step_n = step0 + i
                 key, sub = jax.random.split(key)
-                sys, aux = simulator.step(sys, neighbors, aux, step_n, sub,
-                                          needs_virial=needs_virial)
-                neighbors = maybe_rebuild(sys.neighbor_finder, neighbors,
-                                          sys.coords, sys.boundary,
-                                          sys.exclusions, step_n + 1)
-                return (sys, neighbors, aux, key), None
+                s, aux = simulator.step(s, neighbors, aux, step_n, sub,
+                                        needs_virial=needs_virial)
+                neighbors = maybe_rebuild(s.neighbor_finder, neighbors,
+                                          s.coords, s.boundary,
+                                          s.exclusions, step_n + 1)
+                return (s, neighbors, aux, key), None
 
-            carry, _ = jax.lax.scan(body, carry, jnp.arange(n))
+            carry, _ = jax.lax.scan(body, (sys, neighbors, aux, key),
+                                    jnp.arange(n))
             return carry
 
         pre = min((-align) % r, n)
         n_periods = (n - pre) // r
         tail = n - pre - n_periods * r
 
-        def steps_only(carry, step0_, k):
-            sys, neighbors, aux, key = carry
-            (sys, neighbors, aux, key), _ = jax.lax.scan(
-                step_body, (sys, neighbors, aux, key),
-                step0_ + jnp.arange(k))
-            return sys, neighbors, aux, key
-
         if pre:
-            sys, neighbors, aux, key = steps_only(carry, step0, pre)
+            sys, aux, key = steps_only(sys, neighbors, aux, key, step0, pre)
             neighbors = find_neighbors(sys.neighbor_finder, sys.coords,
                                        sys.boundary, sys.exclusions,
                                        step0 + pre)
-            carry = (sys, neighbors, aux, key)
 
         if n_periods:
             def period(c, k):
-                sys, neighbors, aux, key = steps_only(
-                    c, step0 + pre + k * r, r)
-                neighbors = find_neighbors(sys.neighbor_finder, sys.coords,
-                                           sys.boundary, sys.exclusions,
+                coords, vels, bnd, neighbors, aux, key = c
+                s = sys.update(coords=coords, velocities=vels, boundary=bnd)
+                s, aux, key = steps_only(s, neighbors, aux, key,
+                                         step0 + pre + k * r, r)
+                neighbors = find_neighbors(s.neighbor_finder, s.coords,
+                                           s.boundary, s.exclusions,
                                            step0 + pre + (k + 1) * r)
-                return (sys, neighbors, aux, key), None
+                return (s.coords, s.velocities, s.boundary, neighbors, aux,
+                        key), None
 
-            carry, _ = jax.lax.scan(period, carry, jnp.arange(n_periods))
+            (coords, vels, bnd, neighbors, aux, key), _ = jax.lax.scan(
+                period, (sys.coords, sys.velocities, sys.boundary, neighbors,
+                         aux, key), jnp.arange(n_periods))
+            sys = sys.update(coords=coords, velocities=vels, boundary=bnd)
 
         if tail:
-            carry = steps_only(carry, step0 + pre + n_periods * r, tail)
-        return carry
+            sys, aux, key = steps_only(sys, neighbors, aux, key,
+                                       step0 + pre + n_periods * r, tail)
+        return sys, neighbors, aux, key
 
     return run_chunk
 

@@ -4,6 +4,15 @@ arithmetic vs neighbor rebuild. Run on TPU (default env).
 All variants run the SAME nested-scan chunk path (rebuild every CADENCE with
 align=0) so the per-step lax.cond overhead of the naive path never pollutes
 the numbers; components are isolated by stripping parts of the System.
+
+Timing discipline (the round-2 profiler reported phantom numbers because it
+blocked on ONE output leaf once after queueing several chunks, and that did
+not synchronize with device execution on this platform): every timed call is
+individually bracketed by jax.block_until_ready on the FULL output pytree,
+and the reported number is the median of per-call times. A final consistency
+line compares the sum of strip-out diffs + floor against the measured full
+step — if they disagree by >25% the tool prints a loud warning instead of
+letting the numbers stand.
 """
 import os
 import time
@@ -21,26 +30,49 @@ from mollytpu.ops.neighbors import find_neighbors
 from mollytpu.sim.simulate import _make_chunk_fn
 
 
-def time_chunk(sim, sys, label, n=20, reps=5):
+def _timed_calls(fn, first_args, next_args, reps):
+    """Run fn reps times, blocking on ALL output leaves per call; returns
+    (per-call seconds list, last output). next_args(out, r) -> args tuple."""
+    out = jax.block_until_ready(fn(*first_args))
+    times = []
+    args = next_args(out, 0)
+    for r in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+        args = next_args(out, r + 1)
+    return times, out
+
+
+def time_chunk(sim, sys, label, n=20, reps=7):
     nbs = find_neighbors(sys.neighbor_finder, sys.coords, sys.boundary,
                          sys.exclusions, 0)
     aux = sim.init_aux(sys, nbs)
     run = jax.jit(partial(_make_chunk_fn(sim, False, sys.neighbor_finder,
                                          align=0), n=n))
     key = jax.random.PRNGKey(0)
-    out = run(sys, nbs, aux, key, 0)
-    jax.block_until_ready(out[0].coords)
-    out = run(*out[:4], n)
-    jax.block_until_ready(out[0].coords)
-    t0 = time.perf_counter()
-    s0 = 2 * n
-    for r in range(reps):
-        out = run(*out[:4], s0)
-        s0 += n
-    jax.block_until_ready(out[0].coords)
-    ms = (time.perf_counter() - t0) / (reps * n) * 1e3
-    print("%-38s %.3f ms/step" % (label, ms), flush=True)
+
+    def next_args(out, r):
+        return out[:4] + ((r + 1) * n,)
+
+    times, _ = _timed_calls(run, (sys, nbs, aux, key, 0), next_args, reps)
+    ms = float(np.median(times)) / n * 1e3
+    print("%-38s %.3f ms/step   (min %.3f, max %.3f)"
+          % (label, ms, min(times) / n * 1e3, max(times) / n * 1e3),
+          flush=True)
     return ms
+
+
+def time_rebuild(sys, reps=10):
+    finder = sys.neighbor_finder
+    reb = jax.jit(lambda c: finder.find(c, sys.boundary, sys.exclusions, 0))
+    times, _ = _timed_calls(reb, (sys.coords,),
+                            lambda out, r: (sys.coords,), reps)
+    ms = float(np.median(times)) * 1e3
+    print("one rebuild: %.3f ms (amortized /%d = %.3f ms/step)"
+          % (ms, finder.n_steps, ms / finder.n_steps), flush=True)
+    return ms / finder.n_steps
 
 
 def main():
@@ -59,24 +91,23 @@ def main():
     bare = time_chunk(sim, sys.update(
         constraints=(), pairwise_inters=(), general_inters=(),
         specific_lists=()), "integrator+rebuild only")
-    print("diffs: constraints %.3f  PME %.3f  bonded %.3f  pair %.3f  base %.3f"
-          % (full - nc, full - npme, full - nbond, full - npair, bare),
-          flush=True)
+    d_cons, d_pme = full - nc, full - npme
+    d_bond, d_pair = full - nbond, full - npair
+    print("strip-out diffs (overlapping, need not sum to full): "
+          "constraints %.3f  PME %.3f  bonded %.3f  pair %.3f  floor %.3f"
+          % (d_cons, d_pme, d_bond, d_pair, bare), flush=True)
+    approx = d_cons + d_pme + d_bond + d_pair + bare
+    rel = abs(approx - full) / full
+    print("consistency: diffs+floor = %.3f vs full %.3f (%.0f%% apart)"
+          % (approx, full, rel * 100), flush=True)
+    if rel > 0.25:
+        print("WARNING: parts do not reconcile with the whole — treat the "
+              "component numbers as suspect (overlap or timing error)",
+              flush=True)
 
-    finder = sys.neighbor_finder
-    reb = jax.jit(lambda c: finder.find(c, sys.boundary, sys.exclusions, 0))
-    nbs = reb(sys.coords)
-    jax.block_until_ready(nbs.order)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        nbs = reb(sys.coords)
-    jax.block_until_ready(nbs.order)
-    print("one rebuild: %.3f ms (amortized /%d = %.3f ms/step)"
-          % ((time.perf_counter() - t0) / 10 * 1e3, finder.n_steps,
-             (time.perf_counter() - t0) / 10 * 1e3 / finder.n_steps),
-          flush=True)
+    amort = time_rebuild(sys)
 
-    # constraints split: SHAKE (position) vs RATTLE (velocity), single calls
+    # constraints split: SHAKE (position) vs RATTLE (velocity), 20x scans
     cons = sys.constraints[0] if sys.constraints else None
     if cons is not None:
         coords = sys.coords
@@ -102,14 +133,9 @@ def main():
 
         for name, fn, arg in [("SHAKE x1", shake20, coords),
                               ("RATTLE x1", rattle20, vels)]:
-            out = fn(arg)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(5):
-                out = fn(arg)
-            jax.block_until_ready(out)
-            print("%-38s %.3f ms" % (name, (time.perf_counter() - t0) / 100
-                                     * 1e3), flush=True)
+            times, _ = _timed_calls(fn, (arg,), lambda out, r: (arg,), 5)
+            print("%-38s %.3f ms" % (name, float(np.median(times)) / 20 * 1e3),
+                  flush=True)
 
 
 if __name__ == "__main__":
