@@ -245,7 +245,7 @@ def _improper_ordering(ff, rule, perm, c, j, k, l, struct, type_of):
     return (j, k, c, l)
 
 
-BUILD_CACHE_VERSION = 2   # bumped: ClusterBucket layout change (slice path)
+BUILD_CACHE_VERSION = 3   # bumped: Exclusions windowed-bitmap fields
 
 
 def _models_code_fingerprint():
@@ -669,6 +669,7 @@ def _system_from_pdb_impl(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         general.append(PME.setup(
             boundary, dist_cutoff=rc, error_tol=pme_error_tol,
             excl_pairs=excl_pairs + spec_pairs, dtype=dtype,
+            n_atoms=coords.shape[0],
             # parity mode (exact erfc) also uses the reference's exact mesh
             # dims so golden forces match at 1e-7; the fast path rounds up
             # to FFT-smooth sizes

@@ -41,7 +41,10 @@ from .blockpairs import BlockPairFinder
 # win on low-occupancy/small systems, wide lanes win once the j-gather
 # dominates.
 CANDIDATES = (
+    (32, 256),
+    (64, 128),
     (64, 256),
+    (64, 512),
     (128, 128),
     (128, 256),
     (128, 512),
@@ -133,16 +136,24 @@ def _time_candidate(finder, coords, boundary, atoms, exclusions, spec,
     except Exception:
         return None
 
-    t_find = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(find_fn(coords))
-        t_find = min(t_find, time.perf_counter() - t0)
-    t_force = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(force_fn(coords, nbs))
-        t_force = min(t_force, time.perf_counter() - t0)
+    # queued timing: on tunneled TPUs every *blocked* dispatch pays a ~28 ms
+    # completion-latency round trip after the session's first device_get, so
+    # per-call blocking would read ~28 ms for every candidate and the sweep
+    # would be a coin flip. Queue Q calls, block once, divide.
+    def qtime(fn, *args, q=10):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = np.inf
+        for _ in range(max(2, reps)):
+            t0 = time.perf_counter()
+            for _ in range(q):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / q)
+        return best
+
+    t_find = qtime(find_fn, coords)
+    t_force = qtime(force_fn, coords, nbs)
     return 1e3 * (t_force + t_find / max(1, n_steps))
 
 

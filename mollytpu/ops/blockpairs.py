@@ -150,23 +150,25 @@ class BlockPairs:
                             # + per-entry MIC hoisted out of the kernel)
     a_stat: jax.Array       # (B, 4, BLOCK) sigma/sqrt(eps)/charge/id in
                             # sorted block layout, packed at rebuild (or None)
-    pexcl: jax.Array        # (B, BLOCK, w_excl) per-atom exclusion id table
-                            # in block layout (None if no exclusions given)
-    pspec: jax.Array        # (B, BLOCK, w_spec) special-pair id table
-    pair_mask: jax.Array    # (P, BLOCK, LANES) int8, bit0 = excluded,
-                            # bit1 = special — precomputed when the id
-                            # tables are wide (w_excl + w_spec > 4), so the
-                            # kernel tests 2 bits instead of running
-                            # w_excl + w_spec compare rounds per pair slot.
-                            # None when the tables are narrow.
+    a_bits: jax.Array       # (B, 4, BLOCK) int32 windowed exclusion bitmaps
+                            # in block layout: rows [excl_w0, excl_w1,
+                            # spec_w0, spec_w1]; bit (d + 32) of the word
+                            # pair marks partner id i + d, |d| <= 31. The
+                            # kernel tests bits per pair slot on the fly —
+                            # no (P, BLOCK, LANES) mask is ever materialized
+                            # (the mask build alone cost ~2.7 ms of the
+                            # 14 ms rebuild and 49 MB of scan carry). Far
+                            # pairs (|d| > 31, absent in standard
+                            # topologies) are corrected densely after the
+                            # kernel. None if no exclusions given.
     overflow: jax.Array     # () int32
     step_built: jax.Array   # () int32
 
 
 _register(BlockPairs,
           ["order", "inv_order", "jcount", "flat_i", "row_start", "n_items",
-           "n_pairs", "work_idx", "j_static", "centers", "a_stat", "pexcl",
-           "pspec", "pair_mask", "overflow", "step_built"])
+           "n_pairs", "work_idx", "j_static", "centers", "a_stat", "a_bits",
+           "overflow", "step_built"])
 
 
 @jax.jit
@@ -512,7 +514,12 @@ class BlockPairFinder:
         cand = (pair_j[:, None] * BLOCK + lane[None, :])    # (T, BLOCK)
         cand_flat = cand.reshape(-1)
         t4 = t_max // 4
-        cxyz = s3[:, cand_flat].reshape(-1, t4, 4 * BLOCK)  # (3, T/4, 128)
+        # block-row gather: candidate coords are whole 128-atom blocks, so
+        # index by the T block ids (slice size (3, 1, BLOCK)) instead of
+        # T*BLOCK individual elements — ~100x fewer gather descriptors than
+        # s3[:, cand_flat] for the same bytes
+        cxyz = (s3.reshape(-1, b, BLOCK)[:, pair_j]
+                .reshape(-1, t4, 4 * BLOCK))                # (3, T/4, 128)
 
         def per_lane(v):  # (T,) -> (T/4, 128)
             return jnp.repeat(v.reshape(t4, 4), BLOCK, axis=1)
@@ -520,7 +527,8 @@ class BlockPairFinder:
         if basis is not None:
             # fractional per-axis gaps (conservative for any extent; see the
             # block-block culling comment above)
-            fxyz = f3[:, cand_flat].reshape(-1, t4, 4 * BLOCK)
+            fxyz = (f3.reshape(-1, b, BLOCK)[:, pair_j]
+                    .reshape(-1, t4, 4 * BLOCK))
             d2 = jnp.zeros((t4, 4 * BLOCK), dtype=coords.dtype)
             for k in range(n_sp):
                 df = fxyz[k] - per_lane(fcenters[k][pair_i])
@@ -550,18 +558,21 @@ class BlockPairFinder:
         sk, svals = jax.lax.sort_key_val(akeys, cand_flat)
         svals = jnp.where(sk < t32, svals, n_pad)
 
-        # per-block kept counts without scatters: cumulative-sum differences
-        # at block boundaries located by searchsorted on the sorted pair list
-        kcum = jnp.cumsum(keep.astype(jnp.int32))
-        # method="sort": one O((T+B) log) sort — "scan_unrolled" emits an
-        # UNROLLED length-T compare chain (T ~ thousands of ops, measured
-        # ~10 ms of the rebuild by itself)
-        pstart = jnp.searchsorted(pair_i, jnp.arange(b + 1, dtype=jnp.int32),
-                                  method="sort").astype(jnp.int32)
-        bnd = jnp.where(pstart > 0, kcum[jnp.maximum(pstart * BLOCK - 1, 0)],
-                        0)                                  # kept before block
-        jcount = (bnd[1:] - bnd[:-1]).astype(jnp.int32)
-        kstart = bnd[:-1]
+        # per-block kept counts: per-pair row sums (T,) then a one-hot MXU
+        # segment-sum over pair_i — replaces a 1.15M-element cumsum +
+        # searchsorted (the cumsum alone measured ~0.8 ms at 6mrr scale);
+        # kstart is then a length-B cumsum, consistent with the block-major
+        # compaction order of the sort above
+        row_kept = jnp.sum(keep.reshape(t_max, BLOCK).astype(jnp.float32),
+                           axis=1)                          # (T,)
+        onehot_i = (pair_i[:, None]
+                    == jnp.arange(b, dtype=jnp.int32)[None, :]
+                    ).astype(jnp.float32)                   # (T, B)
+        jcount = jax.lax.dot_general(
+            row_kept[None, :], onehot_i, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)[0].astype(jnp.int32)
+        kstart = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(jcount)[:-1]])
         kk = self.max_jlist
         j_overflow = jnp.maximum(jnp.max(jcount) - kk, 0).astype(jnp.int32)
 
@@ -625,41 +636,16 @@ class BlockPairFinder:
                                    self.atom_static.dtype)[:, None]], axis=1)
             j_static = stat4[:, work_idx]                     # (4, P*LANES)
 
-        # exclusion/special id tables in sorted block layout (rebuild-static)
-        pexcl = pspec = pair_mask = None
-        if exclusions is not None and hasattr(exclusions, "excl_table"):
-            dt = (self.atom_static.dtype if self.atom_static is not None
-                  else coords.dtype)
-            w_e = exclusions.excl_table.shape[1]
-            w_s = exclusions.spec_table.shape[1]
-            pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe],
-                              n).reshape(b, BLOCK, w_e).astype(dt)
-            pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe],
-                              n).reshape(b, BLOCK, w_s).astype(dt)
-            if w_e + w_s > 4:
-                # wide tables (proteins: typically 16 + 16): precompute the
-                # per-slot mask once per rebuild instead of running
-                # w_e + w_s compare rounds per pair slot per STEP in the
-                # kernel (~60% of kernel ops at width 32)
-                order_ext = jnp.concatenate(
-                    [order, jnp.full((1,), n, jnp.int32)])
-                oe2 = jnp.stack([order_ext, order_ext])
-                jid = oe2[:, work_idx][0].reshape(p_max, 1, LANES)
-                ie = exclusions.excl_table[safe].reshape(b, BLOCK, w_e)
-                isp = exclusions.spec_table[safe].reshape(b, BLOCK, w_s)
-                ie_p = ie[flat_i]                       # (P, BLOCK, w_e)
-                isp_p = isp[flat_i]
-                # unrolled compare-or chain: keeps peak memory at a few
-                # (P, BLOCK, LANES) bool buffers instead of one
-                # (P, BLOCK, LANES, w) intermediate
-                m_e = jnp.zeros((p_max, BLOCK, LANES), bool)
-                for w in range(w_e):
-                    m_e = m_e | (ie_p[:, :, w][:, :, None] == jid)
-                m_s = jnp.zeros((p_max, BLOCK, LANES), bool)
-                for w in range(w_s):
-                    m_s = m_s | (isp_p[:, :, w][:, :, None] == jid)
-                pair_mask = (m_e.astype(jnp.int8)
-                             | (m_s.astype(jnp.int8) << 1))
+        # windowed exclusion bitmaps in sorted block layout (rebuild-static):
+        # one (4, n_pad) gather — the old (P, BLOCK, LANES) precomputed mask
+        # cost ~2.7 ms/rebuild in 32 compare rounds and 49 MB of carry
+        a_bits = None
+        if exclusions is not None and getattr(exclusions, "excl_bits",
+                                              None) is not None:
+            bits4 = jnp.concatenate([exclusions.excl_bits.T,
+                                     exclusions.spec_bits.T])  # (4, N+1)
+            sidx = jnp.where(is_real, order, n)  # pad atoms -> zero row N
+            a_bits = bits4[:, sidx].reshape(4, b, BLOCK).transpose(1, 0, 2)
 
         overflow = ((pair_overflow << 20)
                     | (jnp.minimum(j_overflow, 0x3FF) << 10)
@@ -688,8 +674,8 @@ class BlockPairFinder:
                           n_items=jnp.minimum(total, p_max).reshape(1),
                           n_pairs=total_pairs.reshape(1),
                           work_idx=work_idx, j_static=j_static,
-                          centers=centers, a_stat=a_stat, pexcl=pexcl,
-                          pspec=pspec, pair_mask=pair_mask, overflow=overflow,
+                          centers=centers, a_stat=a_stat, a_bits=a_bits,
+                          overflow=overflow,
                           step_built=jnp.asarray(step_n, jnp.int32))
 
 

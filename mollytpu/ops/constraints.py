@@ -180,6 +180,12 @@ class SHAKERattle:
     # short fused elementwise chain, so 5 unrolled iterations cost ~100x
     # less than 60 sequential fori_loop trips of the old Jacobi sweep.
     newton_iters: int = dataclasses.field(default=5, metadata={"static": True})
+    # per-atom slot into the concatenated per-bucket delta columns (clusters
+    # are DISJOINT, so cluster write-back is a per-atom GATHER — slot 0 is
+    # the zero column for unconstrained atoms). A TPU scatter-add runs
+    # sequentially (~0.4 us/row); the gather form is ~100x cheaper for the
+    # non-contiguous protein H-cluster buckets.
+    atom_slot: jax.Array = None   # (N,) int32
 
     @property
     def n_constraints(self) -> int:
@@ -189,7 +195,7 @@ class SHAKERattle:
     def build(cls, pairs, dists, n_iters=60, vel_iters=60, omega=1.0,
               n_atoms=None):
         pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 2)
-        atom_cons = atom_sign = None
+        atom_cons = atom_sign = atom_slot = None
         clusters = ()
         if n_atoms is not None and len(pairs):
             k = pairs.shape[0]
@@ -210,10 +216,20 @@ class SHAKERattle:
             atom_cons = jnp.asarray(atom_cons)
             atom_sign = jnp.asarray(atom_sign)
             clusters = _build_clusters(pairs, np.asarray(dists), n_atoms)
+            if clusters:
+                slot = np.zeros(n_atoms, dtype=np.int32)  # 0 = zero column
+                off = 1
+                for b in clusters:
+                    at = np.asarray(b.atoms)
+                    c, ma = at.shape
+                    slot[at.reshape(-1)] = off + np.arange(c * ma,
+                                                           dtype=np.int32)
+                    off += c * ma
+                atom_slot = jnp.asarray(slot)
         return cls(jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1]),
                    jnp.asarray(np.asarray(dists)),
                    atom_cons=atom_cons, atom_sign=atom_sign,
-                   clusters=clusters,
+                   clusters=clusters, atom_slot=atom_slot,
                    n_iters=n_iters, vel_iters=vel_iters, omega=omega)
 
     @staticmethod
@@ -231,14 +247,14 @@ class SHAKERattle:
     @staticmethod
     def _bucket_read_t(arr, b):
         """(MA, D, C) bucket view of arr (N, D): static slice reshape on the
-        contiguous-layout fast path, small row gather otherwise."""
+        contiguous-layout fast path, batched-form row gather otherwise."""
         c, ma = b.atoms.shape
         if b.slice_start >= 0:
             s = b.slice_start
             blk = arr[s:s + c * ma].reshape(c, ma, arr.shape[1])
-        else:
-            blk = arr[b.atoms]
-        return blk.transpose(1, 2, 0)
+            return blk.transpose(1, 2, 0)
+        g = arr.T[:, b.atoms.reshape(-1)]          # (D, C*MA) batched form
+        return g.reshape(arr.shape[1], c, ma).transpose(2, 0, 1)
 
     @staticmethod
     def _bucket_read_scalar_t(arr, b):
@@ -247,7 +263,8 @@ class SHAKERattle:
         if b.slice_start >= 0:
             s = b.slice_start
             return arr[s:s + c * ma].reshape(c, ma).T
-        return arr[b.atoms].T
+        g = jnp.stack([arr, arr])[:, b.atoms.reshape(-1)][0]
+        return g.reshape(c, ma).T
 
     @staticmethod
     def _bucket_writeback_t(out, b, delta):
@@ -323,6 +340,7 @@ class SHAKERattle:
         violations (vs 60 sequential Jacobi sweeps before — the sweeps were
         ~30% of the whole 6mrr step)."""
         out = coords_new
+        parts = []
         for b in self.clusters:
             pat = b.pattern
             mc = len(pat)
@@ -377,14 +395,30 @@ class SHAKERattle:
                     acc = term if acc is None else acc + term
                 deltas.append(-acc if acc is not None
                               else jnp.zeros_like(x_in[a]))
-            out = self._bucket_writeback_t(out, b, jnp.stack(deltas))
+            delta = jnp.stack(deltas)                      # (MA, D, C)
+            if self.atom_slot is None:
+                out = self._bucket_writeback_t(out, b, delta)
+            else:
+                parts.append(delta.transpose(1, 2, 0).reshape(
+                    delta.shape[1], -1))                   # (D, C*MA)
+        if parts:
+            out = self._gather_apply(out, parts)
         return out
+
+    def _gather_apply(self, base, parts):
+        """base + per-atom GATHER of the concatenated per-bucket delta
+        columns (clusters are disjoint; slot 0 is the zero column)."""
+        d = base.shape[1]
+        big = jnp.concatenate(
+            [jnp.zeros((d, 1), base.dtype)] + parts, axis=1)
+        return base + big[:, self.atom_slot].T
 
     def _cluster_velocities(self, coords, vels, inv_m, boundary):
         # RATTLE is a LINEAR projection: solve the <=3x3 per-cluster
         # coupling system C k = r exactly (closed form, vectorized over
         # clusters) instead of iterating sweeps.
         out = vels
+        parts = []
         for b in self.clusters:
             pat = b.pattern
             mc = len(pat)
@@ -443,7 +477,14 @@ class SHAKERattle:
             for s, (si, sj) in enumerate(pat):
                 v = v.at[si].add(-(ks[s] * im[si])[None, :] * drs[s])
                 v = v.at[sj].add((ks[s] * im[sj])[None, :] * drs[s])
-            out = self._bucket_writeback_t(out, b, v - v_in)
+            delta = v - v_in                               # (MA, D, C)
+            if self.atom_slot is None:
+                out = self._bucket_writeback_t(out, b, delta)
+            else:
+                parts.append(delta.transpose(1, 2, 0).reshape(
+                    delta.shape[1], -1))
+        if parts:
+            out = self._gather_apply(out, parts)
         return out
 
     def _apply_corr(self, per_cons_vec, inv_m, dtype):
@@ -552,7 +593,7 @@ class SHAKERattle:
 jax.tree_util.register_dataclass(
     SHAKERattle,
     data_fields=["idx_i", "idx_j", "dists", "atom_cons", "atom_sign",
-                 "clusters"],
+                 "clusters", "atom_slot"],
     meta_fields=["n_iters", "vel_iters", "omega", "newton_iters"],
 )
 

@@ -548,19 +548,95 @@ def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
     return e, coef
 
 
-def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic, use_mask,
-            use_lam, *refs):
-    # inputs (aexcl/aspec are replaced by a mask tile when use_mask;
-    # alr/jlr per-atom (lambda, role) rows present only on the alchemical
-    # path)
+def _far_pair_corrections(spec, coords, boundary, atoms, charge, exclusions,
+                          forces, energy, vir, dtype, use_lam):
+    """Correct the kernel's treatment of exclusion/special pairs whose id
+    span exceeds the bitmap window (|j - i| > 31 — absent in standard
+    topologies; disulfide-bridged or ring-closing exotica land here).
+
+    The kernel computed such pairs at FULL strength: excluded pairs are
+    subtracted outright; special (1-4) pairs get (scaled - full) added.
+    Static empty far lists compile to nothing."""
+    def pair_eval(pairs, i, j):
+        dr = boundary.displacement(coords[i], coords[j])      # x_j - x_i MIC
+        r2 = jnp.sum(dr * dr, axis=-1)
+        r2 = jnp.maximum(r2, 1e-12)
+        inv_r = jax.lax.rsqrt(r2)
+        r = r2 * inv_r
+        sig = 0.5 * (atoms.sigma[i] + atoms.sigma[j]).astype(dtype)
+        eps = (jnp.sqrt(atoms.epsilon[i])
+               * jnp.sqrt(atoms.epsilon[j])).astype(dtype)
+        qq = (charge[i] * charge[j]).astype(dtype)
+        inside = r2 < spec.cut_max * spec.cut_max
+
+        def terms(special):
+            sp = jnp.full(r2.shape, special)
+            if use_lam:
+                lam_row = (atoms.lam if atoms.lam is not None
+                           else jnp.ones(charge.shape, dtype))
+                role_row = (atoms.alch_role if atoms.alch_role is not None
+                            else jnp.zeros(charge.shape, jnp.int32))
+                lam_i = lam_row[i].astype(dtype)
+                lam_j = lam_row[j].astype(dtype)
+                role_i = role_row[i].astype(dtype)
+                role_j = role_row[j].astype(dtype)
+                lam_mix = jnp.minimum(lam_i, lam_j)
+                same_noncore = (role_i == role_j) & (role_i != 0.0)
+                pair_role = jnp.where((role_i == 1.0) | (role_j == 1.0), 1.0,
+                                      jnp.where((role_i == 2.0)
+                                                | (role_j == 2.0), 2.0, 0.0))
+                sched = spec.scheduler
+                lam_s = jnp.where(same_noncore, 1.0,
+                                  sched.scale_sterics(lam_mix, pair_role))
+                lam_e = jnp.where(same_noncore, 1.0,
+                                  sched.scale_elec(lam_mix, pair_role))
+                lam_live = (lam_i != 0.0) & (lam_j != 0.0)
+                lam_s = jnp.where(lam_live, lam_s, 0.0)
+                e, c = _pair_terms_alch(spec, r2, inv_r, r, sig, eps, qq,
+                                        sp, dtype, lam_s, lam_e)
+            else:
+                e, c = _pair_terms(spec, r2, inv_r, r, sig, eps, qq, sp,
+                                   dtype)
+            return jnp.where(inside, e, 0.0), jnp.where(inside, c, 0.0)
+
+        return dr, terms
+
+    def apply(pairs, delta_of_terms):
+        nonlocal forces, energy, vir
+        if pairs is None or pairs.shape[0] == 0:
+            return
+        i, j = pairs[:, 0], pairs[:, 1]
+        dr, terms = pair_eval(pairs, i, j)
+        de, dc = delta_of_terms(terms)                        # (K,), (K,)
+        fvec = dc[:, None] * dr       # d(correction E)/d(-dr) pattern:
+        # kernel force convention: f_i += coef * (x_j - x_i); applying a
+        # delta coef adds fvec to i and -fvec to j
+        forces = forces.at[i].add(fvec.astype(forces.dtype))
+        forces = forces.at[j].add(-fvec.astype(forces.dtype))
+        energy = energy + jnp.sum(de).astype(energy.dtype)
+        vir = vir - jnp.einsum("k,kd,ke->de", dc, dr, dr).astype(vir.dtype)
+
+    # excluded far pairs: remove the full contribution
+    apply(getattr(exclusions, "far_excl", None),
+          lambda terms: tuple(-x for x in terms(False)))
+    # special far pairs: replace full with scaled
+    apply(getattr(exclusions, "far_spec", None),
+          lambda terms: tuple(s - f for s, f in zip(terms(True),
+                                                    terms(False))))
+    return forces, energy, vir
+
+
+def _kernel(spec, n_atoms, compute_energy, mic, use_lam, *refs):
+    # inputs (abits carries the windowed exclusion/special bitmaps; alr/jlr
+    # per-atom (lambda, role) rows present only on the alchemical path)
     if use_lam:
         (flat_i_ref, row_start_ref, n_items_ref,
-         box_ref, cen_ref, ac_ref, as_ref, aexcl_ref, aspec_ref, jc_ref,
+         box_ref, cen_ref, ac_ref, as_ref, abits_ref, jc_ref,
          js_ref, alr_ref, jlr_ref,
          f_ref, eng_ref, vir_ref) = refs
     else:
         (flat_i_ref, row_start_ref, n_items_ref,
-         box_ref, cen_ref, ac_ref, as_ref, aexcl_ref, aspec_ref, jc_ref,
+         box_ref, cen_ref, ac_ref, as_ref, abits_ref, jc_ref,
          js_ref,
          f_ref, eng_ref, vir_ref) = refs
         alr_ref = jlr_ref = None
@@ -645,19 +721,21 @@ def _kernel(spec, n_atoms, w_excl, w_spec, compute_energy, mic, use_mask,
                 & (r2 < spec.cut_max * spec.cut_max)
                 & (b_id[None, :] < n_atoms)
                 & (a_id[:, None] < n_atoms))
-        if use_mask:
-            # rebuild-precomputed per-slot mask: bit0 excluded, bit1 special
-            m = aexcl_ref[0].astype(jnp.int32)        # (BLOCK, LANES)
-            excl = (m & 1) != 0
-            special = (m & 2) != 0
-        else:
-            excl = jnp.zeros_like(live)
-            for w in range(w_excl):
-                excl = excl | (b_id[None, :] == aexcl_ref[0, :, w][:, None])
-            special = jnp.zeros_like(live)
-            for w in range(w_spec):
-                special = special | (b_id[None, :]
-                                     == aspec_ref[0, :, w][:, None])
+        # windowed-bitmap exclusion test: partner offsets |d| <= 31 are bits
+        # in two per-atom int32 words (rows [excl_w0, excl_w1, spec_w0,
+        # spec_w1]); ids ride the static rows as exact-in-f32 integers.
+        # ~8 VPU int ops per slot, vs reading a rebuild-materialized
+        # (P, BLOCK, LANES) mask (49 MB of carry + a 2.7 ms/rebuild build).
+        # Far pairs (|d| > 31) are corrected densely outside the kernel.
+        ab = abits_ref[0]                             # (4, BLOCK) int32
+        d = (b_id[None, :] - a_id[:, None]).astype(jnp.int32) + 32
+        in_win = (d >= 0) & (d < 64)
+        sh = d & 31
+        lo = d < 32
+        ew = jnp.where(lo, ab[0][:, None], ab[1][:, None])
+        sw = jnp.where(lo, ab[2][:, None], ab[3][:, None])
+        excl = in_win & (((ew >> sh) & 1) != 0)
+        special = in_win & (((sw >> sh) & 1) != 0)
         live = live & ~excl
 
         r2s = jnp.where(live, r2, 1.0)
@@ -852,32 +930,17 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         lrp = jnp.concatenate([lr_sorted, jnp.zeros((2, 1), dtype)], axis=1)
         j_lr = lrp[:, blockpairs.work_idx]                   # (2, P*LANES)
 
-    w_excl = int(exclusions.excl_table.shape[1])
-    w_spec = int(exclusions.spec_table.shape[1])
-    use_mask = blockpairs.pair_mask is not None
-    if use_mask:
-        pexcl = blockpairs.pair_mask
-        pspec = jnp.zeros((1, 8), dtype)
-        excl_spec = pl.BlockSpec((1, BLOCK, LANES),
-                                 lambda p, fi, rs, ni: (p, 0, 0))
-        spec_spec = pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
-                                 memory_space=pltpu.SMEM)
-    else:
-        pexcl, pspec = blockpairs.pexcl, blockpairs.pspec
-        if pexcl is None or pexcl.shape[2] != w_excl:
-            pexcl = jnp.where(is_real[:, None], exclusions.excl_table[safe],
-                              n)
-            pexcl = pexcl.reshape(b, BLOCK, w_excl)
-        if pspec is None or pspec.shape[2] != w_spec:
-            pspec = jnp.where(is_real[:, None], exclusions.spec_table[safe],
-                              n)
-            pspec = pspec.reshape(b, BLOCK, w_spec)
-        pexcl = pexcl.astype(dtype)
-        pspec = pspec.astype(dtype)
-        excl_spec = pl.BlockSpec((1, BLOCK, w_excl),
-                                 lambda p, fi, rs, ni: (fi[p], 0, 0))
-        spec_spec = pl.BlockSpec((1, BLOCK, w_spec),
-                                 lambda p, fi, rs, ni: (fi[p], 0, 0))
+    a_bits = blockpairs.a_bits
+    if a_bits is None and exclusions is not None and getattr(
+            exclusions, "excl_bits", None) is not None:
+        # finder built without exclusions: pack the bitmaps here per step
+        bits4 = jnp.concatenate([exclusions.excl_bits.T,
+                                 exclusions.spec_bits.T])
+        sidx = jnp.where(is_real, order, n)
+        a_bits = bits4[:, sidx].reshape(4, b, BLOCK).transpose(1, 0, 2)
+    if a_bits is None:
+        # no exclusions at all: zero bitmaps (nothing excluded/special)
+        a_bits = jnp.zeros((b, 4, BLOCK), jnp.int32)
 
     in_specs = [
         pl.BlockSpec((1, 12), lambda p, fi, rs, ni: (0, 0),
@@ -888,12 +951,12 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                      lambda p, fi, rs, ni: (fi[p], 0, 0)),
         pl.BlockSpec((1, 4, BLOCK),
                      lambda p, fi, rs, ni: (fi[p], 0, 0)),
-        excl_spec,
-        spec_spec,
+        pl.BlockSpec((1, 4, BLOCK),
+                     lambda p, fi, rs, ni: (fi[p], 0, 0)),
         pl.BlockSpec((3, LANES), lambda p, fi, rs, ni: (0, p)),
         pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
     ]
-    inputs = [box, cen4, a_coords, a_stat, pexcl, pspec, j_coords, j_static]
+    inputs = [box, cen4, a_coords, a_stat, a_bits, j_coords, j_static]
     use_lam = spec.needs_lam
     if use_lam:
         in_specs.append(pl.BlockSpec((1, 2, BLOCK),
@@ -913,8 +976,8 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                          memory_space=pltpu.SMEM),
         ],
     )
-    kernel = partial(_kernel, spec, float(n), w_excl, w_spec, compute_energy,
-                     not hoist_mic, use_mask, use_lam)
+    kernel = partial(_kernel, spec, float(n), compute_energy,
+                     not hoist_mic, use_lam)
     f4, eng, vir6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -936,4 +999,10 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
     vir = jnp.asarray([[vir6[0, 0], vir6[0, 1], vir6[0, 2]],
                        [vir6[0, 1], vir6[0, 3], vir6[0, 4]],
                        [vir6[0, 2], vir6[0, 4], vir6[0, 5]]], dtype=dtype)
+    if exclusions is not None and (
+            getattr(exclusions, "far_excl", None) is not None):
+        if exclusions.far_excl.shape[0] or exclusions.far_spec.shape[0]:
+            forces, energy, vir = _far_pair_corrections(
+                spec, wrapped, boundary, atoms, atoms_charge, exclusions,
+                forces, energy, vir, dtype, use_lam)
     return forces, energy, vir

@@ -132,11 +132,19 @@ def _make_chunk_fn(simulator, needs_virial, finder=None, align=0):
 
 
 def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
-             init_step=0, check_nans=False, neighbors=None):
+             init_step=0, check_nans=False, neighbors=None, shortcut=None,
+             show_progress=False):
     """Run n_steps of MD. Returns (final_sys, logs).
 
     loggers: dict name -> logger (see utils.loggers). logs maps each name to
     the stacked recorded values (host-side list stacking after the run).
+    run_loggers: True / False / "skipstart" (skip the step-0 record;
+    reference parity: simulate! run_loggers=:skipstart, simulators.jl:56).
+    shortcut: optional host callable (sys, neighbors, step_n) -> bool checked
+    at every chunk boundary; True ends the run early (the reference's
+    simulator early-exit hook, simulators.jl:23).
+    show_progress: print step counter + instantaneous ns/day to stderr at
+    chunk boundaries (simulators.jl:56-89 progress meter).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -181,6 +189,10 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
     r = getattr(finder, "n_steps", 1) if finder is not None else 1
 
     step_n = init_step
+    if show_progress:
+        import sys as _sys
+        import time as _time
+        t_prog = _time.perf_counter()
     for n in chunks:
         align = step_n % r if r > 1 else 0
         if (n, align) not in chunk_fn_cache:
@@ -189,6 +201,15 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
         sys, neighbors, aux, key = chunk_fn_cache[(n, align)](
             sys, neighbors, aux, key, jnp.asarray(step_n))
         step_n += n
+        if show_progress:
+            jax.block_until_ready(sys.coords)
+            now = _time.perf_counter()
+            dt_ps = getattr(simulator, "dt", 0.0)
+            rate = n * dt_ps * 1e-3 * 86400.0 / max(now - t_prog, 1e-9)
+            t_prog = now
+            print(f"\rstep {step_n - init_step}/{n_steps}"
+                  + (f"  {rate:.1f} ns/day" if dt_ps else ""),
+                  end="", file=_sys.stderr, flush=True)
         if check_nans:
             if bool(jnp.any(jnp.isnan(sys.coords))):
                 raise FloatingPointError(f"NaN coordinates at step {step_n}")
@@ -216,7 +237,11 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
                                        sys.exclusions, step_n)
             chunk_fn_cache.clear()
         log_now(step_n)
+        if shortcut is not None and shortcut(sys, neighbors, step_n):
+            break
 
+    if show_progress:
+        print(file=_sys.stderr, flush=True)
     logs = {k: _stack(v) for k, v in logs.items()}
     return sys, logs
 

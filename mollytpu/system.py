@@ -45,10 +45,42 @@ def _pad_tables(n_atoms, pairs_i, pairs_j, width):
     return table
 
 
+#: windowed-bitmap half-width: partner offsets d = j - i with |d| <= 31 are
+#: representable as bits; pairs outside the window go to the far lists.
+EXCL_WINDOW = 32
+
+
+def _bitmap_tables(n_atoms, pairs_i, pairs_j):
+    """((N+1, 2) int32 windowed bitmaps, (F, 2) far pairs).
+
+    Bit k of word (k // 32) at row i marks partner i + (k - EXCL_WINDOW),
+    for k - EXCL_WINDOW in [-32, 31]. Bonded exclusions are id-local in
+    every standard topology (6mrr max span: 22), so the far list is almost
+    always empty; the Pallas kernel tests bits on the fly and the dense
+    correction pass handles the far remainder exactly."""
+    bits = np.zeros((n_atoms + 1, 2), dtype=np.uint32)
+    far = []
+    for a, b in zip(np.asarray(pairs_i), np.asarray(pairs_j)):
+        a, b = int(a), int(b)
+        # symmetric rule |b - a| <= 31: both directions representable, so a
+        # pair is either fully in-window or fully in the far list
+        if abs(b - a) <= EXCL_WINDOW - 1:
+            for x, y in ((a, b), (b, a)):
+                d = y - x + EXCL_WINDOW
+                bits[x, d // 32] |= np.uint32(1) << np.uint32(d % 32)
+        else:
+            far.append((min(a, b), max(a, b)))
+    far_arr = (np.asarray(far, dtype=np.int32).reshape(-1, 2)
+               if far else np.zeros((0, 2), np.int32))
+    return bits.view(np.int32), far_arr
+
+
 @dataclasses.dataclass(frozen=True)
 class Exclusions:
     """Sparse excluded (1-2/1-3) and special (1-4) pair lists + padded
-    per-atom tables for O(1) membership tests in the neighbor engine."""
+    per-atom tables for O(1) membership tests in the dense/cell-tile
+    engines + windowed per-atom bitmaps (|j - i| < 32) for the Pallas
+    block-pair kernel, with far-pair remainder lists corrected densely."""
 
     excl_i: jax.Array  # (E,) int32, i < j
     excl_j: jax.Array
@@ -56,6 +88,10 @@ class Exclusions:
     spec_j: jax.Array
     excl_table: jax.Array  # (N, We) int32, sentinel = N
     spec_table: jax.Array  # (N, Ws) int32, sentinel = N
+    excl_bits: jax.Array = None  # (N+1, 2) int32 windowed bitmap, row N = 0
+    spec_bits: jax.Array = None  # (N+1, 2) int32
+    far_excl: jax.Array = None   # (F, 2) int32 pairs outside the window
+    far_spec: jax.Array = None   # (F', 2) int32
 
     @classmethod
     def build(cls, n_atoms, excl_pairs=(), special_pairs=(), max_excl=16, max_special=16):
@@ -72,19 +108,28 @@ class Exclusions:
         si, sj = norm(special_pairs)
         et = _pad_tables(n_atoms, ei, ej, max_excl)
         st = _pad_tables(n_atoms, si, sj, max_special)
+        eb, fe = _bitmap_tables(n_atoms, ei, ej)
+        sb, fs = _bitmap_tables(n_atoms, si, sj)
         return cls(jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(si), jnp.asarray(sj),
-                   jnp.asarray(et), jnp.asarray(st))
+                   jnp.asarray(et), jnp.asarray(st),
+                   excl_bits=jnp.asarray(eb), spec_bits=jnp.asarray(sb),
+                   far_excl=jnp.asarray(fe), far_spec=jnp.asarray(fs))
 
     @classmethod
     def empty(cls, n_atoms):
         z = jnp.zeros((0,), jnp.int32)
         t = jnp.full((n_atoms, 1), n_atoms, dtype=jnp.int32)
-        return cls(z, z, z, z, t, t)
+        zb = jnp.zeros((n_atoms + 1, 2), jnp.int32)
+        zp = jnp.zeros((0, 2), jnp.int32)
+        return cls(z, z, z, z, t, t, excl_bits=zb, spec_bits=zb,
+                   far_excl=zp, far_spec=zp)
 
 
 jax.tree_util.register_dataclass(
     Exclusions,
-    data_fields=["excl_i", "excl_j", "spec_i", "spec_j", "excl_table", "spec_table"],
+    data_fields=["excl_i", "excl_j", "spec_i", "spec_j", "excl_table",
+                 "spec_table", "excl_bits", "spec_bits", "far_excl",
+                 "far_spec"],
     meta_fields=[],
 )
 

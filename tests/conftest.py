@@ -20,5 +20,24 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("MOLLYTPU_TEST_TPU", "0") == "1":
+    # on-device fidelity tier (`MOLLYTPU_TEST_TPU=1 pytest -m tpu`): keep the
+    # default backend (the real TPU) and f32 — these tests gate the
+    # Mosaic-COMPILED kernel path, which the CPU suite only covers in
+    # interpret mode (reference analogue: test/gpu_consistency.jl runs its
+    # CUDA kernels on device)
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    if os.environ.get("MOLLYTPU_TEST_TPU", "0") == "1":
+        return
+    skip = pytest.mark.skip(reason="TPU tier: set MOLLYTPU_TEST_TPU=1 and "
+                                   "run on a TPU host")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

@@ -116,6 +116,44 @@ def test_heavy_exclusions_and_specials():
              rtol_e=1e-9, atol_f=1e-9)
 
 
+def test_far_span_exclusions_and_specials():
+    """Exclusion/special pairs whose id span exceeds the +-31 bitmap window
+    (disulfide-bridge-like topology) must route through the dense far-pair
+    correction and still match the table-driven dense reference exactly."""
+    dtype = jnp.float64
+    n = 64
+    key = jax.random.PRNGKey(7)
+    boundary = mt.cubic(2.2, dtype=dtype)
+    coords = mt.place_atoms(key, boundary, n, min_dist=0.25, dtype=dtype)
+    # choose far pairs among atoms that actually interact (r < 0.8)
+    d = np.asarray(jax.vmap(
+        lambda a: jax.vmap(lambda b: jnp.linalg.norm(
+            boundary.displacement(a, b)))(coords))(coords))
+    ii, jj = np.nonzero((d > 0.05) & (d < 0.8))
+    far = [(int(a), int(b)) for a, b in zip(ii, jj)
+           if b - a > 31][:5]
+    assert len(far) >= 4, "test setup needs interacting far-span pairs"
+    excl = far[:2] + [(0, 1), (5, 6)]
+    spec = far[2:4] + [(10, 12)]
+    sys, mk, boundary = _mk_system(n, 2.2, dtype, coords=np.asarray(coords),
+                                   excl_pairs=excl, special_pairs=spec)
+    assert int(sys.exclusions.far_excl.shape[0]) == 2
+    assert int(sys.exclusions.far_spec.shape[0]) == 2
+    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n),
+             rtol_e=1e-9, atol_f=1e-9)
+
+
+def test_exclusion_bitmap_window_edges():
+    """Span 31 is the last in-window offset; span 32 must go to the far
+    list in BOTH directions (an asymmetric split would unbalance forces)."""
+    ex = mt.Exclusions.build(64, excl_pairs=[(0, 31), (1, 33)])
+    eb = np.asarray(ex.excl_bits).view(np.uint32)
+    assert eb[0, (31 + 32) // 32] & np.uint32(1 << ((31 + 32) % 32))
+    assert eb[31, (-31 + 32) // 32] & np.uint32(1 << ((-31 + 32) % 32))
+    assert np.asarray(ex.far_excl).tolist() == [[1, 33]]
+    assert not eb[1].any() and not eb[33].any()
+
+
 def test_sub_block_system():
     """Fewer atoms (5) than one 32-atom block: pure padding tiles."""
     dtype = jnp.float64
