@@ -2,7 +2,7 @@
 
 Parity with /root/reference/src/free_energy/AWH.jl: AWHState (:51-170)
 holds the free-energy estimate f, target distribution rho, weight
-accumulators w_seg/w_last, the fictitious sample size N_bias with the
+accumulators seg_weights/gibbs_weights, the fictitious sample size ref_size with the
 initial-stage doubling schedule, and visit tracking; AWHSimulation
 (:370-419) drives iterations of [MD segment at the active window ->
 K-window reweighting (process_sample :447-476) -> Gibbs sampling of the
@@ -59,12 +59,12 @@ class AWHState:
     f: np.ndarray = None            # (K,) free-energy estimate (kBT units)
     rho: np.ndarray = None          # (K,) target distribution
     log_rho: np.ndarray = None
-    w_seg: np.ndarray = None        # accumulated weights since last update
-    w_last: np.ndarray = None       # last sample's conditional weights
-    N_eff: float = 0.0
-    N_bias: float = 100.0           # fictitious sample size (initial stage)
-    n_accum: int = 0
-    in_initial_stage: bool = True
+    seg_weights: np.ndarray = None        # accumulated weights since last update
+    gibbs_weights: np.ndarray = None       # last sample's conditional weights
+    n_samples_total: float = 0.0
+    ref_size: float = 100.0           # fictitious sample size (initial stage)
+    seg_samples: int = 0
+    covering_stage: bool = True
     visited: set = dataclasses.field(default_factory=set)
     stats: AWHStats = dataclasses.field(default_factory=AWHStats)
 
@@ -80,8 +80,8 @@ class AWHState:
         rho = rho / rho.sum()
         return cls(space=space, active_idx=int(first_state),
                    f=np.zeros(k), rho=rho, log_rho=np.log(rho),
-                   w_seg=np.zeros(k), w_last=np.zeros(k),
-                   N_bias=float(n_bias))
+                   seg_weights=np.zeros(k), gibbs_weights=np.zeros(k),
+                   ref_size=float(n_bias))
 
     @property
     def n_windows(self):
@@ -169,15 +169,15 @@ class AWHSimulation:
     log_freq: int = 100
     pmf: object = None              # AWHPMFBackend | None
     current_step: int = 0
-    initial_n_bias: float = None
+    ref_size0: float = None
 
     def __post_init__(self):
         if self.n_md_steps <= 0:
             raise ValueError("n_md_steps must be positive")
         if self.update_freq <= 0:
             raise ValueError("update_freq must be positive")
-        if self.initial_n_bias is None:
-            self.initial_n_bias = float(self.state.N_bias)
+        if self.ref_size0 is None:
+            self.ref_size0 = float(self.state.ref_size)
 
     # -- per-sample reweighting (process_sample, AWH.jl:447-476) ------------
 
@@ -192,28 +192,28 @@ class AWHSimulation:
         z = z - z.max()
         w = np.exp(z)
         w /= w.sum()
-        st.w_last = w
-        st.w_seg += w
-        st.n_accum += 1
-        st.N_eff += 1.0
+        st.gibbs_weights = w
+        st.seg_weights += w
+        st.seg_samples += 1
+        st.n_samples_total += 1.0
         thresh = self.significant_weight / st.n_windows
         for i in np.where(w > thresh)[0]:
             st.visited.add(int(i))
         return float(energies[st.active_idx])
 
     def _gibbs_sample_window(self, rng):
-        return int(rng.choice(self.state.n_windows, p=self.state.w_last))
+        return int(rng.choice(self.state.n_windows, p=self.state.gibbs_weights))
 
     # -- bias update (update_awh_bias!, AWH.jl:497-553) ---------------------
 
     def _update_bias(self, iteration_n):
         st = self.state
-        if st.n_accum < self.update_freq:
+        if st.seg_samples < self.update_freq:
             return None
-        current_n = (st.N_bias if st.in_initial_stage
-                     else self.initial_n_bias + st.N_eff)
-        num = current_n * st.rho + st.w_seg
-        den = current_n * st.rho + st.n_accum * st.rho
+        ref_weight = (st.ref_size if st.covering_stage
+                     else self.ref_size0 + st.n_samples_total)
+        num = ref_weight * st.rho + st.seg_weights
+        den = ref_weight * st.rho + st.seg_samples * st.rho
         delta_f = np.where(den > 0, np.log(np.maximum(num, 1e-300) / den), 0.0)
         st.f = st.f - delta_f
         st.f = st.f - st.f[0]
@@ -223,9 +223,9 @@ class AWHSimulation:
             s.step_indices.append(iteration_n)
             s.active_state.append(st.active_idx)
             s.f_history.append(st.f.copy())
-            s.n_effective_history.append(current_n)
+            s.n_effective_history.append(ref_weight)
             s.stage_history.append(
-                "initial" if st.in_initial_stage else "linear")
+                "initial" if st.covering_stage else "linear")
             s.max_delta_f_history.append(float(np.abs(delta_f).max()))
 
         if np.isfinite(self.well_tempered_factor):
@@ -238,16 +238,16 @@ class AWHSimulation:
             st.rho = rho
             st.log_rho = np.log(rho)
 
-        if st.in_initial_stage:
+        if st.covering_stage:
             if len(st.visited) >= int(np.floor(
                     self.coverage_threshold * st.n_windows)):
-                st.N_bias *= 2.0
+                st.ref_size *= 2.0
                 st.visited.clear()
-                if st.N_bias >= self.initial_n_bias + st.N_eff:
-                    st.in_initial_stage = False
+                if st.ref_size >= self.ref_size0 + st.n_samples_total:
+                    st.covering_stage = False
 
-        st.w_seg[:] = 0.0
-        st.n_accum = 0
+        st.seg_weights[:] = 0.0
+        st.seg_samples = 0
         return delta_f
 
     # -- the driver (simulate!, AWH.jl:555-617) -----------------------------
@@ -298,8 +298,8 @@ class AWHSimulation:
 
             if self.pmf is not None:
                 w_fac = 1.0
-                if st.in_initial_stage:
-                    w_fac = st.N_bias / (st.N_bias + float(self.update_freq))
+                if st.covering_stage:
+                    w_fac = st.ref_size / (st.ref_size + float(self.update_freq))
                 betas = space.betas()
                 press = space.pressures()
                 self.pmf.update(
@@ -356,7 +356,7 @@ class GridAWHState:
     hist: np.ndarray             # visits since last update-size change
     update_size: float           # kJ/mol per visit (shrinks over time)
     n_updates: int = 0
-    in_initial_stage: bool = True
+    covering_stage: bool = True
 
     @classmethod
     def create(cls, lo, hi, n_bins, initial_update=1.0):
@@ -410,7 +410,7 @@ class GridAWH:
             state.n_updates += 1
             # stage control: halve the update size when the histogram is
             # sufficiently flat (initial stage), then switch to 1/t decay
-            if state.in_initial_stage:
+            if state.covering_stage:
                 visited = state.hist[state.hist > 0]
                 if (len(visited) > self.n_bins * 0.6
                         and visited.min() > self.flatness_threshold
@@ -418,7 +418,7 @@ class GridAWH:
                     state.update_size *= 0.5
                     state.hist[:] = 0
                     if state.update_size < KB * self.temperature * 0.05:
-                        state.in_initial_stage = False
+                        state.covering_stage = False
             else:
                 state.update_size = self.initial_update / max(state.n_updates, 1)
         return sys, state

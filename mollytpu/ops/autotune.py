@@ -48,8 +48,10 @@ CANDIDATES = (
     (128, 128),
     (128, 256),
     (128, 512),
+    (128, 1024),
     (256, 256),
     (256, 512),
+    (256, 1024),
 )
 
 _CACHE_PATH = os.path.join(

@@ -411,7 +411,7 @@ class BlockPairFinder:
         rank = q[:, 0]
         for k in range(1, n_dims):
             nk = dims[k]
-            flip = rank % 2 == 1
+            flip = (rank & 1) == 1
             qk = jnp.where(flip, nk - 1 - q[:, k], q[:, k])
             if k == n_dims - 1:
                 last_flip = flip
@@ -500,8 +500,16 @@ class BlockPairFinder:
             iota2 = jnp.concatenate([iota2, jnp.zeros_like(pad)])
         sk, sv = jax.lax.sort_key_val(pkeys, iota2)
         pair_ok = sk[:t_max] <= b * b
-        pair_i = jnp.where(pair_ok, sv[:t_max] // b, b - 1)
-        pair_j = jnp.where(pair_ok, sv[:t_max] % b, 0)
+        # int32 div/mod lower to ~40-op VPU sequences (~38 ns/element
+        # measured); b is a power of two whenever n_pad is, so decode with
+        # shifts
+        if b & (b - 1) == 0:
+            sh = b.bit_length() - 1
+            q, r = sv[:t_max] >> sh, sv[:t_max] & (b - 1)
+        else:
+            q, r = sv[:t_max] // b, sv[:t_max] % b
+        pair_i = jnp.where(pair_ok, q, b - 1)
+        pair_j = jnp.where(pair_ok, r, 0)
         total_pairs = jnp.sum(interacting).astype(jnp.int32)
         pair_overflow = jnp.maximum(total_pairs - t_max, 0).astype(jnp.int32)
 

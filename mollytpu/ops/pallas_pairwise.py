@@ -804,9 +804,17 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, *refs):
             # HIGHEST precision: the MXU's default bf16 multiplies are fine
             # for energies but the f_i = m4 - xi*s0 cancellation amplifies
             # bf16 rounding of the coordinates into O(1) force errors
+            # HIGHEST (6-pass bf16 = full f32) by default: the f_i = m4 -
+            # xi*s0 cancellation amplifies coordinate rounding. HIGH
+            # (3-pass, ~22-bit effective) halves the MXU passes and keeps
+            # relative force error ~2e-5 — opt-in via env until the on-TPU
+            # fidelity tier pins its drift impact.
+            prec = (jax.lax.Precision.HIGH
+                    if os.environ.get("MOLLYTPU_MOMENT_HIGH")
+                    else jax.lax.Precision.HIGHEST)
             m4 = jax.lax.dot_general(
                 jl4, coef, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
                 preferred_element_type=dtype)  # (4,BLOCK) [Scx,Scy,Scz,Sc]
             s0 = m4[3]
             upd = jnp.concatenate([

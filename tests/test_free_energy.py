@@ -213,8 +213,8 @@ def test_awh_reference_class_free_energy_recovery():
     assert np.max(np.abs(f_est - f_ref)) < 0.8, (f_est, f_ref)
     # stage machinery exercised
     st = awh.state
-    assert st.N_eff == 400
-    assert st.N_bias > 20.0 or not st.in_initial_stage
+    assert st.n_samples_total == 400
+    assert st.ref_size > 20.0 or not st.covering_stage
 
 
 def test_awh_pmf_deconvolution_recovers_unbiased_pmf():
