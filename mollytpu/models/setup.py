@@ -669,7 +669,6 @@ def _system_from_pdb_impl(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         general.append(PME.setup(
             boundary, dist_cutoff=rc, error_tol=pme_error_tol,
             excl_pairs=excl_pairs + spec_pairs, dtype=dtype,
-            n_atoms=coords.shape[0],
             # parity mode (exact erfc) also uses the reference's exact mesh
             # dims so golden forces match at 1e-7; the fast path rounds up
             # to FFT-smooth sizes

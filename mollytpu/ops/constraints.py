@@ -473,11 +473,22 @@ class SHAKERattle:
                       (r[0] * co10 + r[1] * co11 + r[2] * co12) / det,
                       (r[0] * co20 + r[1] * co21 + r[2] * co22) / det]
 
-            v = v_in
-            for s, (si, sj) in enumerate(pat):
-                v = v.at[si].add(-(ks[s] * im[si])[None, :] * drs[s])
-                v = v.at[sj].add((ks[s] * im[sj])[None, :] * drs[s])
-            delta = v - v_in                               # (MA, D, C)
+            # materialize per-slot velocity deltas directly (the in-place
+            # v.at[slot].add chain measured 0.45 ms/application on (3, 3, C)
+            # at 6mrr scale — ~70% of the whole RATTLE cost; the explicit
+            # per-slot accumulation below is free, as in the SHAKE path)
+            deltas = []
+            for a in range(v_in.shape[0]):
+                acc = None
+                for s, (si, sj) in enumerate(pat):
+                    sign = -1.0 if a == si else (1.0 if a == sj else 0.0)
+                    if sign == 0.0:
+                        continue
+                    term = (sign * ks[s] * im[a])[None, :] * drs[s]
+                    acc = term if acc is None else acc + term
+                deltas.append(acc if acc is not None
+                              else jnp.zeros_like(v_in[a]))
+            delta = jnp.stack(deltas)                      # (MA, D, C)
             if self.atom_slot is None:
                 out = self._bucket_writeback_t(out, b, delta)
             else:

@@ -397,48 +397,12 @@ class PME(GeneralInteraction):
             planes.append(Gc.reshape(K1, -1, K2).transpose(0, 2, 1))
         return jnp.concatenate(planes, axis=2)                  # (K1, K2, K3)
 
-    def _interp_dense_w(self, phi, tabs, q, recip, dtype):
-        """Atom-chunked W-matrix interpolation: ONE pair of (A, K1) @
-        (K1, K2*K3) MXU contractions per atom chunk (W = theta_x-projected
-        potential, Wd its x-derivative image), then small VPU contractions
-        against the y/z tables — avoids materializing the (N, K2*K3)
-        outer-product D matrices of the per-axis form (~0.5 GB of HBM
-        traffic per force call at 6mrr scale)."""
-        (Ax, dAx), (By, dBy), (Cz, dCz) = tabs
-        K1, K2, K3 = self.mesh_dims
-        n = Ax.shape[0]
-        prec = jax.lax.Precision.HIGHEST
-        ke = self.coulomb_const / self.epsilon_r
-        phi_flat = phi.reshape(K1, K2 * K3)
-        A = 2048
-        d1, d2, d3 = [], [], []
-        for a0 in range(0, n, A):
-            sl = slice(a0, a0 + A)
-            W = jax.lax.dot_general(
-                Ax[sl], phi_flat, (((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=dtype)
-            Wd = jax.lax.dot_general(
-                dAx[sl], phi_flat, (((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=dtype)
-            W3 = W.reshape(-1, K2, K3)
-            Wd3 = Wd.reshape(-1, K2, K3)
-            Bc, dBc = By[sl], dBy[sl]
-            Cc, dCc = Cz[sl], dCz[sl]
-            t1 = jnp.einsum("ayz,az->ay", Wd3, Cc)
-            d1.append(jnp.sum(t1 * Bc, axis=-1))
-            t2 = jnp.einsum("ayz,az->ay", W3, Cc)
-            d2.append(jnp.sum(t2 * dBc, axis=-1))
-            t3 = jnp.einsum("ayz,ay->az", W3, Bc)
-            d3.append(jnp.sum(t3 * dCc, axis=-1))
-        du1 = jnp.concatenate(d1) * K1
-        du2 = jnp.concatenate(d2) * K2
-        du3 = jnp.concatenate(d3) * K3
-        du = jnp.stack([du1, du2, du3], axis=-1) * q[:, None] * ke
-        return -(du @ recip.T).astype(dtype)
-
     def _interp_dense(self, phi, tabs, q, recip, dtype):
-        if os.environ.get("MOLLYTPU_PME_INTERP", "d") == "w":
-            return self._interp_dense_w(phi, tabs, q, recip, dtype)
+        # Measured alternatives that LOST on the bench chip (do not redo):
+        # an atom-chunked W-matrix form (W = theta_x @ phi per chunk, VPU
+        # contractions for y/z) ran 0.75 ms vs 0.42 ms for this per-axis
+        # chunked-D form, and a gather-table exclusion correction ran
+        # 0.86 ms vs 0.44 ms for the sparse scatter form.
         (Ax, dAx), (By, dBy), (Cz, dCz) = tabs
         K1, K2, K3 = self.mesh_dims
         n = Ax.shape[0]

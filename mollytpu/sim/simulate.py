@@ -193,6 +193,30 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
         import sys as _sys
         import time as _time
         t_prog = _time.perf_counter()
+    def _check_overflow(ov_arr, at_step):
+        ov = int(jax.device_get(ov_arr))
+        if ov > 0:
+            from ..ops.blockpairs import BlockPairFinder, decode_overflow
+            if isinstance(finder, BlockPairFinder):
+                causes = "; ".join(decode_overflow(ov))
+            else:
+                causes = (f"neighbor list overflow by {ov}; increase "
+                          "max_neighbors / cell_capacity on the finder")
+            raise RuntimeError(
+                f"neighbor finder overflow at step {at_step}: {causes}")
+
+    # overflow checks run ONE CHUNK BEHIND: the device_get then overlaps the
+    # next chunk's execution instead of stalling the pipeline (on tunneled
+    # TPUs a blocked host sync costs ~28 ms — per chunk, that is a tax of up
+    # to ~1.4 ms/step on the public simulate() path). Detection one chunk
+    # late raises the same error, just after some extra wasted work.
+    pending_ov = None
+    # the box only moves under a barostat; without one the NPT staleness
+    # check would pay a pointless host sync per chunk
+    has_barostat = any(getattr(c, "is_barostat", False)
+                       or "Barostat" in type(c).__name__
+                       for c in getattr(simulator, "coupling", ()) or ())
+
     for n in chunks:
         align = step_n % r if r > 1 else 0
         if (n, align) not in chunk_fn_cache:
@@ -201,6 +225,9 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
         sys, neighbors, aux, key = chunk_fn_cache[(n, align)](
             sys, neighbors, aux, key, jnp.asarray(step_n))
         step_n += n
+        if pending_ov is not None:
+            _check_overflow(*pending_ov)
+            pending_ov = None
         if show_progress:
             jax.block_until_ready(sys.coords)
             now = _time.perf_counter()
@@ -214,20 +241,11 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
             if bool(jnp.any(jnp.isnan(sys.coords))):
                 raise FloatingPointError(f"NaN coordinates at step {step_n}")
         if neighbors is not None:
-            ov = int(jax.device_get(neighbors.overflow))
-            if ov > 0:
-                from ..ops.blockpairs import BlockPairFinder, decode_overflow
-                if isinstance(finder, BlockPairFinder):
-                    causes = "; ".join(decode_overflow(ov))
-                else:
-                    causes = (f"neighbor list overflow by {ov}; increase "
-                              "max_neighbors / cell_capacity on the finder")
-                raise RuntimeError(
-                    f"neighbor finder overflow at step {step_n}: {causes}")
+            pending_ov = (neighbors.overflow, step_n)
         # NPT staleness: barostat drift beyond the finder's static-geometry
         # band re-derives the cell geometry from the current box (new static
         # config -> fresh compiles of subsequent chunks)
-        if (finder is not None
+        if (has_barostat and finder is not None
                 and getattr(finder, "box_drift_exceeded", None) is not None
                 and finder.box_drift_exceeded(sys.boundary)):
             finder = finder.resetup(sys.boundary, sys.n_atoms,
@@ -240,6 +258,8 @@ def simulate(sys, simulator, n_steps, key=None, loggers=None, run_loggers=True,
         if shortcut is not None and shortcut(sys, neighbors, step_n):
             break
 
+    if pending_ov is not None:
+        _check_overflow(*pending_ov)
     if show_progress:
         print(file=_sys.stderr, flush=True)
     logs = {k: _stack(v) for k, v in logs.items()}

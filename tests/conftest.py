@@ -31,6 +31,19 @@ else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+# persistent XLA binary cache: the fast tier is compile-bound (interpret-mode
+# Pallas programs especially); repeat runs skip straight to execution
+_cache_dir = os.environ.get(
+    "MOLLYTPU_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "mollytpu", "jaxcache"))
+if _cache_dir and _cache_dir not in ("0", "off"):
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 
 def pytest_collection_modifyitems(config, items):
     import pytest

@@ -41,8 +41,10 @@ def _lj_coul_system(n=500, box=3.0, dtype=jnp.float32):
 @pytest.mark.parametrize("blk,lanes", [(64, 128), (32, 256), (256, 256)])
 def test_non_default_tile_shapes_match_dense(blk, lanes):
     """The fused kernel at non-default per-finder (block, lanes) matches
-    the dense O(N^2) reference path."""
-    sys_d, nl_inters = _lj_coul_system()
+    the dense O(N^2) reference path. (n kept small: interpret-mode Pallas
+    work items execute one by one on CPU; the 64x128 shape at n=500 took
+    ~8 min of emulation.)"""
+    sys_d, nl_inters = _lj_coul_system(n=160, box=2.2)
     f_ref = np.asarray(mt.forces(sys_d))
     e_ref = float(mt.potential_energy(sys_d))
     spec = build_fused_spec(nl_inters)

@@ -75,7 +75,7 @@ def test_33_atoms_partial_blocks_no_cancellation():
     coords = np.array([[0.5 * (i % 8) + 0.11 * i, 0.45 * (i % 7),
                         0.4 * (i % 6)] for i in range(n)])
     sys, mk, boundary = _mk_system(n, 8.0, dtype, coords=coords)
-    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n),
+    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n, block=32, lanes=128),
              rtol_e=1e-9, atol_f=1e-9)
     _compare(sys, mk, CellTileFinder.setup(boundary, 0.9, n),
              rtol_e=1e-9, atol_f=1e-9)
@@ -94,7 +94,7 @@ def test_f64_well_posed_lattice():
         pts.append([0.52 * x + 0.26, 0.52 * y + 0.26, 0.52 * z + 0.26])
     sys, mk, boundary = _mk_system(n, 2.6, dtype, coords=np.array(pts),
                                    sigma=0.35)
-    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n),
+    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n, block=32, lanes=128),
              rtol_e=1e-9, atol_f=1e-9)
     _compare(sys, mk, CellTileFinder.setup(boundary, 0.9, n),
              rtol_e=1e-9, atol_f=1e-9)
@@ -110,7 +110,7 @@ def test_heavy_exclusions_and_specials():
     spec = [(i, i + 3) for i in range(n - 3)]
     sys, mk, boundary = _mk_system(n, 2.6, dtype, excl_pairs=excl,
                                    special_pairs=spec)
-    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n),
+    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n, block=32, lanes=128),
              rtol_e=1e-9, atol_f=1e-9)
     _compare(sys, mk, CellTileFinder.setup(boundary, 0.9, n),
              rtol_e=1e-9, atol_f=1e-9)
@@ -139,7 +139,7 @@ def test_far_span_exclusions_and_specials():
                                    excl_pairs=excl, special_pairs=spec)
     assert int(sys.exclusions.far_excl.shape[0]) == 2
     assert int(sys.exclusions.far_spec.shape[0]) == 2
-    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n),
+    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n, block=32, lanes=128),
              rtol_e=1e-9, atol_f=1e-9)
 
 
@@ -160,7 +160,7 @@ def test_sub_block_system():
     coords = np.array([[0.3, 0.3, 0.3], [0.8, 0.3, 0.3], [0.3, 0.9, 0.3],
                        [1.4, 1.4, 1.4], [2.0, 2.0, 2.0]])
     sys, mk, boundary = _mk_system(5, 2.5, dtype, coords=coords)
-    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, 5),
+    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, 5, block=32, lanes=128),
              rtol_e=1e-9, atol_f=1e-9)
     _compare(sys, mk, CellTileFinder.setup(boundary, 0.9, 5),
              rtol_e=1e-9, atol_f=1e-9)
@@ -187,7 +187,7 @@ def test_open_boundaries_block_pairs():
     sys = mt.System(atoms=atoms, coords=jnp.asarray(coords, dtype),
                     boundary=boundary, pairwise_inters=mk(False),
                     exclusions=excl)
-    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n),
+    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n, block=32, lanes=128),
              rtol_e=1e-9, atol_f=1e-9)
 
 
@@ -199,7 +199,7 @@ def test_ewald_real_space_fused_consistency():
     sys, mk, boundary = _mk_system(n, 3.0, dtype, coul="ewald",
                                    excl_pairs=[(0, 1), (10, 11)],
                                    special_pairs=[(20, 23)])
-    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n),
+    _compare(sys, mk, BlockPairFinder.setup(boundary, 0.9, n, block=32, lanes=128),
              rtol_e=5e-5, atol_f=5e-5)
 
 
@@ -327,7 +327,7 @@ def test_fused_softcore_beutler_matches_dense(lam):
                     weight_special=0.8333))
 
     sys, mkf, boundary = _alch_system(96, dtype, mk, lam=lam)
-    finder = BlockPairFinder.setup(boundary, 0.9, 96)
+    finder = BlockPairFinder.setup(boundary, 0.9, 96, block=32, lanes=128)
     from mollytpu.ops.pallas_pairwise import build_fused_spec
     assert build_fused_spec(mkf(True)) is not None
     # forces to 2e-5 rel: the XLA path autodiffs the A&S rational erfc
@@ -348,7 +348,7 @@ def test_fused_softcore_gapsys_matches_dense(lam):
                     use_neighbors=un))
 
     sys, mkf, boundary = _alch_system(96, dtype, mk, lam=lam)
-    finder = BlockPairFinder.setup(boundary, 0.9, 96)
+    finder = BlockPairFinder.setup(boundary, 0.9, 96, block=32, lanes=128)
     from mollytpu.ops.pallas_pairwise import build_fused_spec
     assert build_fused_spec(mkf(True)) is not None
     _compare(sys, mkf, finder, rtol_e=1e-6, atol_f=1e-6)
@@ -364,7 +364,7 @@ def test_fused_scaled_charge_family_matches_dense():
                 mt.CoulombEwaldScaled(dist_cutoff=0.9, use_neighbors=un))
 
     sys, mkf, boundary = _alch_system(96, dtype, mk, lam=0.6)
-    finder = BlockPairFinder.setup(boundary, 0.9, 96)
+    finder = BlockPairFinder.setup(boundary, 0.9, 96, block=32, lanes=128)
     from mollytpu.ops.pallas_pairwise import build_fused_spec
     assert build_fused_spec(mkf(True)) is not None
     # 1e-5: the scaled family rides the plain fused Ewald branch, whose

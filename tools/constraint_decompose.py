@@ -5,26 +5,18 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/constraint_decompose.py
 """
 import dataclasses
 import os
-import time
 
 os.environ.setdefault("MOLLYTPU_LANES", "512")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import bench
+from qtime import qtime
 
 
-def timeit(fn, *args, reps=8, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3
+def timeit(fn, *args, **kw):
+    return qtime(fn, *args, reps=10)
 
 
 def main():

@@ -51,6 +51,19 @@ def main():
     def upto_full(c):
         return pme.force_virial(c, boundary, atoms)[0]
 
+    def upto_interp_w(c):
+        tabs, recip = pme._dense_tables(c, boundary, q, dtype)
+        grid = pme._spread_dense(tabs, q, dtype)
+        _, phi, _ = pme._convolve(grid, boundary, dtype)
+        return pme._interp_dense_w(phi, tabs, q, recip, dtype)
+
+    from mollytpu.ops.ewald import _exclusion_force_virial_table
+
+    def upto_full_sparse(c):
+        import dataclasses as _dc
+        p2 = _dc.replace(pme, excl_table=None)
+        return p2.force_virial(c, boundary, atoms)[0]
+
     prev = 0.0
     for name, fn in [("dense tables", upto_tables),
                      ("+ spread", upto_spread),
@@ -61,6 +74,16 @@ def main():
         print(f"  {name:24s} {t:7.3f} ms  (delta {t - prev:+.3f})",
               flush=True)
         prev = t
+
+    t_w = qtime(jax.jit(upto_interp_w), coords)
+    print(f"  [alt] W-matrix interp    {t_w:7.3f} ms", flush=True)
+    import numpy as np
+    fa = np.asarray(jax.jit(upto_interp)(coords))
+    fb = np.asarray(jax.jit(upto_interp_w)(coords))
+    print(f"  W vs D interp max diff: {np.abs(fa - fb).max():.2e}",
+          flush=True)
+    t_s = qtime(jax.jit(upto_full_sparse), coords)
+    print(f"  [alt] sparse excl corr   {t_s:7.3f} ms (full)", flush=True)
 
 
 if __name__ == "__main__":
