@@ -201,3 +201,26 @@ def test_mts_per_interaction_fractions():
     with pytest.raises(ValueError):
         mt.simulate(sys, mt.MTSIntegrator(
             dt=0.002, pi_fractions=(1,), si_fractions=(2,)), 1)
+
+
+def test_simulate_shortcut_and_progress(capsys):
+    """simulate() contract conveniences: the `shortcut` host hook ends the
+    run early at a chunk boundary (simulators.jl:23) and show_progress
+    prints a step meter; run_loggers="skipstart" drops the step-0 record."""
+    sys = lj_fluid(n_atoms=16, box=2.0)
+    sim = mt.VelocityVerlet(dt=0.002)
+    calls = []
+
+    def stop_after_first(s, nbs, step_n):
+        calls.append(step_n)
+        return True
+
+    out, logs = mt.simulate(sys, sim, 500, jax.random.PRNGKey(0),
+                            loggers={"t": mt.TemperatureLogger(50)},
+                            run_loggers="skipstart",
+                            shortcut=stop_after_first, show_progress=True)
+    assert len(calls) == 1 and calls[0] == 50   # stopped at first boundary
+    assert len(np.asarray(logs["t"])) == 1      # step-0 record skipped
+    assert np.all(np.isfinite(np.asarray(out.coords)))
+    err = capsys.readouterr().err
+    assert "step" in err and "50/500" in err
