@@ -6,6 +6,21 @@ state, fully jit-compiled scan-based stepping, sharded replica parallelism.
 See SURVEY.md for the reference structural analysis this build tracks.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Matmul precision default: on TPU, unannotated matmuls/einsums run on the
+# MXU in bf16 — which silently corrupts PHYSICS (measured: the PME
+# fractional-coordinate matmul alone produced 166 kJ/mol/nm force errors on
+# chip; pressure tensors and triclinic culling have the same hazard). The
+# audited hot contractions request their precision explicitly; everything
+# else defaults to full f32. Override with MOLLYTPU_MATMUL_PRECISION
+# (highest|high|default) before import.
+_prec = _os.environ.get("MOLLYTPU_MATMUL_PRECISION", "highest")
+if _prec in ("highest", "high"):
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 from . import units
 from .config import report_issue, strictness, describe_env, ENV_FLAGS
 from .atoms import Atoms, AtomData, make_atoms, ALCH_CORE, ALCH_INSERT, ALCH_DELETE

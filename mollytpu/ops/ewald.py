@@ -359,7 +359,11 @@ class PME(GeneralInteraction):
     def _dense_tables(self, coords, boundary, q, dtype):
         order = self.order
         recip = jnp.linalg.inv(boundary.box_matrix())
-        t = coords @ recip
+        # HIGHEST: the MXU's default bf16 matmul would shift fractional
+        # coordinates by ~4e-3 cells -> wrong B-spline weights -> O(100)
+        # kJ/mol/nm force errors ON TPU ONLY (CPU matmuls are exact f32;
+        # caught by the -m tpu fidelity tier, round 3)
+        t = jnp.matmul(coords, recip, precision=jax.lax.Precision.HIGHEST)
         t = (t - jnp.floor(t)) * jnp.asarray(self.mesh_dims, dtype=coords.dtype)
         ti = jnp.floor(t).astype(jnp.int32)
         w = t - ti
@@ -429,7 +433,8 @@ class PME(GeneralInteraction):
         du2 = jnp.sum(dBy * P2, axis=1) * K2
         du3 = jnp.sum(dCz * P3, axis=1) * K3
         du = jnp.stack([du1, du2, du3], axis=-1) * q[:, None] * ke
-        return -(du @ recip.T).astype(dtype)
+        return -jnp.matmul(du, recip.T,
+                           precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
     # -- scatter/gather pipeline (CPU and d != 3 fallback) ------------------
 
@@ -439,7 +444,9 @@ class PME(GeneralInteraction):
         order = self.order
         K = jnp.asarray(self.mesh_dims, dtype=jnp.int32)
         recip = jnp.linalg.inv(boundary.box_matrix())  # f = x @ recip
-        t = coords @ recip  # fractional
+        # HIGHEST: default-precision bf16 would corrupt fractional coords
+        t = jnp.matmul(coords, recip,
+                       precision=jax.lax.Precision.HIGHEST)  # fractional
         t = (t - jnp.floor(t)) * jnp.asarray(self.mesh_dims, dtype=coords.dtype)
         ti = jnp.floor(t).astype(jnp.int32)
         w = t - ti
@@ -605,7 +612,8 @@ class PME(GeneralInteraction):
         du3 = jnp.einsum("nxyz,nx,ny,nz->n", ph, tx, ty, dz) * self.mesh_dims[2]
         du = jnp.stack([du1, du2, du3], axis=-1) * q[:, None] * ke
         # chain rule through fractional coords: dE/dx = du @ recip^T  (f = x @ recip)
-        forces = -(du @ recip.T).astype(dtype)
+        forces = -jnp.matmul(du, recip.T,
+                             precision=jax.lax.Precision.HIGHEST).astype(dtype)
         # exclusion + self/charge corrections
         f_ex, v_ex = _exclusion_force_virial(q, coords, boundary, self.alpha, ke,
                                              self.excl_i, self.excl_j, n, needs_virial)

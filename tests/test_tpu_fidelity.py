@@ -65,15 +65,23 @@ def test_compiled_pallas_6mrr_forces_vs_golden():
 
 
 def test_compiled_nve_drift_on_device():
-    """2048-atom LJ fluid, 2000 VV steps at f32 on the chip: total-energy
-    drift per atom bounded (energy_conservation.jl:10-60 analogue)."""
+    """2048-atom LJ fluid, 600 VV steps at f32 on the chip: total-energy
+    drift per atom bounded (energy_conservation.jl:10-60 analogue; short
+    enough that the whole tier fits the <10 min budget)."""
     from mollytpu.ops.blockpairs import BlockPairFinder
 
     dtype = jnp.float32
     n = 2048
     boundary = mt.cubic(6.0, dtype=dtype)
-    coords = mt.place_atoms(jax.random.PRNGKey(0), boundary, n,
-                            min_dist=0.32, dtype=dtype)
+    # jittered lattice instead of place_atoms: rejection sampling dispatches
+    # thousands of tiny programs, each paying the tunnel's post-device_get
+    # dispatch tax (~0.5-2.5 ms) — minutes of pure host-loop overhead
+    side = 13  # 13^3 = 2197 >= n
+    lin = (np.arange(side) + 0.5) * (6.0 / side)
+    grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"),
+                    axis=-1).reshape(-1, 3)[:n]
+    jit_r = np.random.default_rng(0).uniform(-0.05, 0.05, (n, 3))
+    coords = jnp.asarray(grid + jit_r, dtype)
     atoms = mt.make_atoms(n=n, mass=40.0, sigma=0.34, epsilon=1.0,
                           dtype=dtype)
     vels = mt.random_velocities(jax.random.PRNGKey(1), atoms.mass, 100.0,
@@ -94,11 +102,11 @@ def test_compiled_nve_drift_on_device():
 
     nbs = mt.find_neighbors(finder, sys.coords, sys.boundary, sys.exclusions)
     e0 = float(jax.device_get(jax.jit(total_e)(sys, nbs)))
-    out, _ = mt.simulate(sys, sim, 2000, jax.random.PRNGKey(2))
+    out, _ = mt.simulate(sys, sim, 600, jax.random.PRNGKey(2))
     nbs1 = mt.find_neighbors(finder, out.coords, out.boundary,
                              out.exclusions)
     e1 = float(jax.device_get(jax.jit(total_e)(out, nbs1)))
     drift = abs(e1 - e0) / n
-    print(f"TPU f32 NVE drift: {drift:.2e} kJ/mol/atom over 2000 steps")
+    print(f"TPU f32 NVE drift: {drift:.2e} kJ/mol/atom over 600 steps")
     assert np.isfinite(e1)
     assert drift < 5e-3, f"NVE drift {drift} kJ/mol/atom"
