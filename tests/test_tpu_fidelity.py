@@ -60,8 +60,8 @@ def test_compiled_pallas_6mrr_forces_vs_golden():
           f"(max |f| {fscale:.1f}), energy diff {ediff:.4f} kJ/mol")
     # reference f64 gates: ftol 1e-3, etol 0.2 (test/protein.jl:267,274);
     # f32 budget is ~100x looser
-    assert fdiff < 2.0, f"compiled-path force error {fdiff}"
-    assert ediff < 25.0, f"compiled-path energy error {ediff}"
+    assert fdiff < 1.0, f"compiled-path force error {fdiff}"
+    assert ediff < 5.0, f"compiled-path energy error {ediff}"
 
 
 def test_compiled_nve_drift_on_device():
@@ -109,4 +109,4 @@ def test_compiled_nve_drift_on_device():
     drift = abs(e1 - e0) / n
     print(f"TPU f32 NVE drift: {drift:.2e} kJ/mol/atom over 600 steps")
     assert np.isfinite(e1)
-    assert drift < 5e-3, f"NVE drift {drift} kJ/mol/atom"
+    assert drift < 3e-3, f"NVE drift {drift} kJ/mol/atom"
