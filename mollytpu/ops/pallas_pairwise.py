@@ -626,7 +626,7 @@ def _far_pair_corrections(spec, coords, boundary, atoms, charge, exclusions,
     return forces, energy, vir
 
 
-def _kernel(spec, n_atoms, compute_energy, mic, use_lam, *refs):
+def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
     # inputs (abits carries the windowed exclusion/special bitmaps; alr/jlr
     # per-atom (lambda, role) rows present only on the alchemical path)
     if use_lam:
@@ -659,6 +659,19 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, *refs):
             for t in range(8):
                 eng_ref[0, t] = jnp.asarray(0.0, dtype)
                 vir_ref[0, t] = jnp.asarray(0.0, dtype)
+
+    if variant == "gather_only":
+        # roofline probe: all input DMA happens (the Pallas pipeline copies
+        # every BlockSpec window per grid step regardless of body use), but
+        # the body only touches the tiles enough to defeat dead-input
+        # elimination — isolates DMA + grid overhead from VPU compute
+        @pl.when(p < n_items_ref[0])
+        def _():
+            s = (jnp.sum(jc_ref[...]) + jnp.sum(js_ref[...])
+                 + jnp.sum(ac_ref[...]) + jnp.sum(as_ref[...])
+                 + jnp.sum(abits_ref[...].astype(dtype)))
+            f_ref[...] += s * jnp.asarray(1e-30, dtype)
+        return
 
     @pl.when(p < n_items_ref[0])
     def _():
@@ -738,6 +751,15 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, *refs):
         special = in_win & (((sw >> sh) & 1) != 0)
         live = live & ~excl
 
+        if variant == "distance_only":
+            # roofline probe: distances + masks + accumulation, force math
+            # stripped — the VPU cost of _pair_terms is full - this
+            coef = jnp.where(live, r2 * jnp.asarray(1e-12, dtype), 0.0)
+            _accumulate(spec, coef, dx, dy, dz, bx, by, bz, ax, ay, az,
+                        jnp.zeros_like(coef), live, mic, compute_energy,
+                        dtype, f_ref, eng_ref, vir_ref)
+            return
+
         r2s = jnp.where(live, r2, 1.0)
         # Mosaic lowers lax.rsqrt to the VPU's raw ~2e-3 approximation (XLA
         # refines it); two Newton steps restore f32 accuracy — the r^-12
@@ -781,57 +803,66 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, *refs):
         else:
             e, coef = _pair_terms(spec, r2s, inv_r, r, sig, eps, qq,
                                   special, dtype)
-        coef = jnp.where(live, coef, 0.0)
+        _accumulate(spec, coef, dx, dy, dz, bx, by, bz, ax, ay, az,
+                    e, live, mic, compute_energy, dtype,
+                    f_ref, eng_ref, vir_ref)
 
-        if mic or os.environ.get("MOLLYTPU_NO_MOMENT"):
-            # shifts vary per pair, so the moment identity does not apply:
-            # accumulate directly
-            upd = jnp.concatenate([
-                jnp.sum(coef * dx, axis=1)[None, :],
-                jnp.sum(coef * dy, axis=1)[None, :],
-                jnp.sum(coef * dz, axis=1)[None, :],
-                jnp.zeros((1, coef.shape[0]), dtype)])
-        else:
-            # moment-form accumulation: f_i = sum_j c (xj - xi)
-            #                               = (c @ [jx jy jz 1]) - xi*(c @ 1)
-            # — one MXU contraction replaces three per-pair multiplies and
-            # three VPU reduction trees. Block-local coords keep |x| ~ rc so
-            # the difference loses < ~6e-6 relative in f32.
-            # Row 3 is constant 1.0, so m4[3] lands sum_j c directly.
-            jl4 = jnp.concatenate([
-                bx[None, :], by[None, :], bz[None, :],
-                jnp.ones((1, bx.shape[0]), dtype)])
-            # HIGHEST precision: the MXU's default bf16 multiplies are fine
-            # for energies but the f_i = m4 - xi*s0 cancellation amplifies
-            # bf16 rounding of the coordinates into O(1) force errors
-            # HIGHEST (6-pass bf16 = full f32) by default: the f_i = m4 -
-            # xi*s0 cancellation amplifies coordinate rounding. HIGH
-            # (3-pass, ~22-bit effective) halves the MXU passes and keeps
-            # relative force error ~2e-5 — opt-in via env until the on-TPU
-            # fidelity tier pins its drift impact.
-            prec = (jax.lax.Precision.HIGH
-                    if os.environ.get("MOLLYTPU_MOMENT_HIGH")
-                    else jax.lax.Precision.HIGHEST)
-            m4 = jax.lax.dot_general(
-                jl4, coef, (((1,), (1,)), ((), ())),
-                precision=prec,
-                preferred_element_type=dtype)  # (4,BLOCK) [Scx,Scy,Scz,Sc]
-            s0 = m4[3]
-            upd = jnp.concatenate([
-                (m4[0] - ax * s0)[None, :],
-                (m4[1] - ay * s0)[None, :],
-                (m4[2] - az * s0)[None, :],
-                jnp.zeros((1, coef.shape[0]), dtype)])
-        f_ref[...] += upd[None]
-        if compute_energy:
-            e = jnp.where(live, e, 0.0)
-            eng_ref[0, 0] += 0.5 * jnp.sum(e)
-            vir_ref[0, 0] += -0.5 * jnp.sum(coef * dx * dx)
-            vir_ref[0, 1] += -0.5 * jnp.sum(coef * dx * dy)
-            vir_ref[0, 2] += -0.5 * jnp.sum(coef * dx * dz)
-            vir_ref[0, 3] += -0.5 * jnp.sum(coef * dy * dy)
-            vir_ref[0, 4] += -0.5 * jnp.sum(coef * dy * dz)
-            vir_ref[0, 5] += -0.5 * jnp.sum(coef * dz * dz)
+
+def _accumulate(spec, coef, dx, dy, dz, bx, by, bz, ax, ay, az, e, live,
+                mic, compute_energy, dtype, f_ref, eng_ref, vir_ref):
+    """Reduce per-pair coefs into the i-block force accumulator (+ energy/
+    virial scalars). Shared by the production path and roofline probes."""
+    coef = jnp.where(live, coef, 0.0)
+
+    if mic or os.environ.get("MOLLYTPU_NO_MOMENT"):
+        # shifts vary per pair, so the moment identity does not apply:
+        # accumulate directly
+        upd = jnp.concatenate([
+            jnp.sum(coef * dx, axis=1)[None, :],
+            jnp.sum(coef * dy, axis=1)[None, :],
+            jnp.sum(coef * dz, axis=1)[None, :],
+            jnp.zeros((1, coef.shape[0]), dtype)])
+    else:
+        # moment-form accumulation: f_i = sum_j c (xj - xi)
+        #                               = (c @ [jx jy jz 1]) - xi*(c @ 1)
+        # — one MXU contraction replaces three per-pair multiplies and
+        # three VPU reduction trees. Block-local coords keep |x| ~ rc so
+        # the difference loses < ~6e-6 relative in f32.
+        # Row 3 is constant 1.0, so m4[3] lands sum_j c directly.
+        jl4 = jnp.concatenate([
+            bx[None, :], by[None, :], bz[None, :],
+            jnp.ones((1, bx.shape[0]), dtype)])
+        # HIGHEST precision: the MXU's default bf16 multiplies are fine
+        # for energies but the f_i = m4 - xi*s0 cancellation amplifies
+        # bf16 rounding of the coordinates into O(1) force errors
+        # HIGHEST (6-pass bf16 = full f32) by default: the f_i = m4 -
+        # xi*s0 cancellation amplifies coordinate rounding. HIGH
+        # (3-pass, ~22-bit effective) halves the MXU passes and keeps
+        # relative force error ~2e-5 — opt-in via env until the on-TPU
+        # fidelity tier pins its drift impact.
+        prec = (jax.lax.Precision.HIGH
+                if os.environ.get("MOLLYTPU_MOMENT_HIGH")
+                else jax.lax.Precision.HIGHEST)
+        m4 = jax.lax.dot_general(
+            jl4, coef, (((1,), (1,)), ((), ())),
+            precision=prec,
+            preferred_element_type=dtype)  # (4,BLOCK) [Scx,Scy,Scz,Sc]
+        s0 = m4[3]
+        upd = jnp.concatenate([
+            (m4[0] - ax * s0)[None, :],
+            (m4[1] - ay * s0)[None, :],
+            (m4[2] - az * s0)[None, :],
+            jnp.zeros((1, coef.shape[0]), dtype)])
+    f_ref[...] += upd[None]
+    if compute_energy:
+        e = jnp.where(live, e, 0.0)
+        eng_ref[0, 0] += 0.5 * jnp.sum(e)
+        vir_ref[0, 0] += -0.5 * jnp.sum(coef * dx * dx)
+        vir_ref[0, 1] += -0.5 * jnp.sum(coef * dx * dy)
+        vir_ref[0, 2] += -0.5 * jnp.sum(coef * dx * dz)
+        vir_ref[0, 3] += -0.5 * jnp.sum(coef * dy * dy)
+        vir_ref[0, 4] += -0.5 * jnp.sum(coef * dy * dz)
+        vir_ref[0, 5] += -0.5 * jnp.sum(coef * dz * dz)
 
 
 def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
@@ -905,7 +936,15 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
     # local-frame shift happen in the kernel)
     hoist_mic = getattr(finder, "hoist_mic", False)
     fc3 = jnp.concatenate([sorted3c, jnp.zeros((3, 1), dtype)], axis=1)
-    j_coords = fc3[:, blockpairs.work_idx]                   # (3, P*LANES)
+    variant = os.environ.get("MOLLYTPU_PAIR_VARIANT", "")
+    if variant == "nogather":
+        # roofline probe: skip the per-step work-layout j-coordinate gather
+        # (a broadcast fill of one real coordinate row keeps shapes/DMA
+        # identical) — full - this = the XLA gather's cost
+        j_coords = jnp.broadcast_to(fc3[:, :1],
+                                    (3, blockpairs.work_idx.shape[0]))
+    else:
+        j_coords = fc3[:, blockpairs.work_idx]               # (3, P*LANES)
     from .blockpairs import kernel_mic_row
     box = kernel_mic_row(boundary, dtype)                    # (1, 12)
 
@@ -984,8 +1023,19 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                          memory_space=pltpu.SMEM),
         ],
     )
+    if variant == "preponly":
+        # roofline probe: all XLA prep (gathers + layouts) runs, the Pallas
+        # call itself is skipped — isolates out-of-kernel prep cost
+        alive = (jnp.sum(j_coords) + jnp.sum(a_coords) + jnp.sum(a_stat)
+                 + jnp.sum(j_static) + jnp.sum(a_bits.astype(dtype))
+                 ) * jnp.asarray(1e-30, dtype)
+        forces = jnp.zeros((n, 3), dtype) + alive
+        return forces, jnp.zeros((), dtype) + alive, jnp.zeros((3, 3), dtype)
+
     kernel = partial(_kernel, spec, float(n), compute_energy,
-                     not hoist_mic, use_lam)
+                     not hoist_mic, use_lam,
+                     variant if variant in ("gather_only", "distance_only")
+                     else "")
     f4, eng, vir6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
