@@ -245,7 +245,7 @@ def _improper_ordering(ff, rule, perm, c, j, k, l, struct, type_of):
     return (j, k, c, l)
 
 
-BUILD_CACHE_VERSION = 3   # bumped: Exclusions windowed-bitmap fields
+BUILD_CACHE_VERSION = 4   # bumped: PME exclusions fold into the bonded engine
 
 
 def _models_code_fingerprint():
@@ -668,11 +668,23 @@ def _system_from_pdb_impl(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
         )
         general.append(PME.setup(
             boundary, dist_cutoff=rc, error_tol=pme_error_tol,
-            excl_pairs=excl_pairs + spec_pairs, dtype=dtype,
+            dtype=dtype,
             # parity mode (exact erfc) also uses the reference's exact mesh
             # dims so golden forces match at 1e-7; the fast path rounds up
             # to FFT-smooth sizes
             smooth_dims=approximate_pme))
+        # reciprocal-sum exclusion corrections ride the fused bonded engine
+        # (one gather+scatter with all other specific terms) instead of a
+        # standalone scatter inside PME — reference parity: EwaldExclusion
+        # is a 2-atom bonded interaction there too (ewald.jl:978-1008)
+        all_excl = excl_pairs + spec_pairs
+        if all_excl:
+            from ..ops.ewald import (ewald_exclusion_list, ewald_error_alpha,
+                                     COULOMB_CONST)
+            specific_lists.append(ewald_exclusion_list(
+                all_excl, charge_of,
+                ewald_error_alpha(rc, pme_error_tol), COULOMB_CONST,
+                dtype=dtype))
     elif nonbonded_method == "none":
         from ..ops.cutoffs import NoCutoff
         from ..ops.pairwise import Coulomb

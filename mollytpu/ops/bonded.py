@@ -163,6 +163,18 @@ def _e_position_restraint(c, boundary, p):
     return 0.5 * p["k"] * jnp.sum(dr * dr)
 
 
+def _e_ewald_exclusion(c, boundary, p):
+    # -ke qi qj erf(alpha r)/r: cancels the reciprocal-space interaction of a
+    # pair excluded from the Ewald sum (reference models this as a 2-atom
+    # bonded interaction too: EwaldExclusion, ewald.jl:978-1008). Living here
+    # rides the fused all-families gather+scatter instead of paying its own
+    # standalone scatter pass (measured 0.44 ms/step standalone at 6mrr scale
+    # vs ~0.05 ms marginal in the fused engine).
+    dr = boundary.displacement(c[0], c[1])
+    r = jnp.sqrt(jnp.sum(dr * dr) + 1e-24)
+    return -p["kqq"] * jax.scipy.special.erf(p["alpha"] * r) / r
+
+
 TERM_FUNCS = {
     "harmonic_bond": _e_harmonic_bond,
     "morse_bond": _e_morse_bond,
@@ -174,6 +186,7 @@ TERM_FUNCS = {
     "rb_torsion": _e_rb_torsion,
     "harmonic_torsion": _e_harmonic_torsion,
     "position_restraint": _e_position_restraint,
+    "ewald_exclusion": _e_ewald_exclusion,
 }
 
 
@@ -244,6 +257,14 @@ def position_restraints(i, k, x0):
     x0 = jnp.asarray(x0)
     return _soa("position_restraint", (i,), k=k,
                 x0=x0[:, 0], y0=x0[:, 1], z0=x0[:, 2])
+
+
+def ewald_exclusions(i, j, kqq, alpha):
+    """Reciprocal-space correction terms for pairs excluded from an Ewald
+    sum: U = -kqq erf(alpha r)/r with kqq = ke qi qj / epsilon_r baked at
+    setup (fixed-charge force fields; charge-varying alchemical schedules
+    keep the in-PME correction instead)."""
+    return _soa("ewald_exclusion", (i, j), kqq=kqq, alpha=alpha)
 
 
 # --- evaluation engine -------------------------------------------------------

@@ -193,34 +193,21 @@ def _exclusion_force_virial(q, coords, boundary, alpha, ke, excl_i, excl_j, n,
     return forces, vir
 
 
-def _exclusion_force_virial_table(q, coords, boundary, alpha, ke, table,
-                                  needs_virial):
-    """Gather-form exclusion correction: per-atom sum over the padded
-    partner table (sentinel N) — no scatter (TPU scatter-adds serialize;
-    the 2E-row scatter of the sparse form cost ~0.3 ms at 6mrr scale)."""
-    n, d = coords.shape
-    w = table.shape[1]
-    zero_vir = jnp.zeros((d, d), dtype=coords.dtype)
-    flat = table.reshape(-1)
-    ce = jnp.concatenate([coords, jnp.zeros((1, d), coords.dtype)])
-    part = jnp.moveaxis(ce.T[:, flat].reshape(d, n, w), 0, -1)   # (N, W, D)
-    dr = boundary.displacement(
-        jnp.broadcast_to(coords[:, None, :], part.shape), part)  # xw - xi
-    r2 = jnp.sum(dr * dr, axis=-1)
-    r = jnp.sqrt(r2 + 1e-24)
-    qe = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])
-    qq = q[:, None] * jnp.stack([qe, qe])[:, flat][0].reshape(n, w)
-    valid = table < n
-    erf_ar = jax.scipy.special.erf(alpha * r)
-    dudr = -ke * qq * (2.0 * alpha / math.sqrt(math.pi)
-                       * jnp.exp(-(alpha * r) ** 2) / r - erf_ar / r2)
-    coef = jnp.where(valid, dudr / r, 0.0)
-    forces = jnp.sum(coef[:, :, None] * dr, axis=1)              # on i
-    if needs_virial:
-        vir = -0.5 * jnp.einsum("kw,kwd,kwe->de", coef, dr, dr)
-    else:
-        vir = zero_vir
-    return forces, vir
+def ewald_exclusion_list(excl_pairs, charges, alpha, ke, dtype=jnp.float32):
+    """SpecificList of -ke qi qj erf(alpha r)/r correction terms for pairs
+    excluded from an Ewald/PME reciprocal sum — the reference's
+    EwaldExclusion 2-atom interaction (ewald.jl:978-1008). The model
+    builders append this to System.specific_lists (and build PME with no
+    excl pairs) so the correction rides the fused bonded gather+scatter:
+    measured 0.44 ms/step as a standalone scatter at 6mrr scale vs ~0.05 ms
+    marginal in the fused engine. kqq is baked from setup-time charges."""
+    from .bonded import ewald_exclusions
+    arr = np.asarray(excl_pairs, dtype=np.int32).reshape(-1, 2)
+    q = np.asarray(charges)
+    kqq = ke * q[arr[:, 0]] * q[arr[:, 1]]
+    return ewald_exclusions(arr[:, 0], arr[:, 1],
+                            jnp.asarray(kqq, dtype),
+                            jnp.full((arr.shape[0],), float(alpha), dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -299,13 +286,12 @@ class PME(GeneralInteraction):
     moduli_x: jax.Array = None
     moduli_y: jax.Array = None
     moduli_z: jax.Array = None
+    # Direct-construction escape hatch: pairs corrected inside PME itself
+    # (sparse scatter). The model builders instead route exclusions through
+    # the fused bonded engine via ewald_exclusion_list() and leave these
+    # empty — see that helper's docstring for the measured numbers.
     excl_i: jax.Array = None
     excl_j: jax.Array = None
-    # (N, W) per-atom excluded-partner table (sentinel N): the correction
-    # force becomes a per-atom GATHER-sum instead of a 2E-row scatter-add
-    # (TPU scatters serialize; the padded gather form is ~3x faster at 6mrr
-    # scale). None -> sparse scatter path.
-    excl_table: jax.Array = None
     scheduler: object = dataclasses.field(default=None, metadata={"static": True})
     # "dense": separable one-hot tables + chunked MXU contractions (no
     # scatter/gather on the mesh — TPU scatter costs ~0.4 us/element);
@@ -316,34 +302,26 @@ class PME(GeneralInteraction):
     @classmethod
     def setup(cls, boundary, dist_cutoff=1.0, error_tol=0.0005, order=5,
               excl_pairs=None, epsilon_r=1.0, dtype=jnp.float32,
-              scheduler=None, mesh_dims=None, smooth_dims=True,
-              n_atoms=None):
+              scheduler=None, mesh_dims=None, smooth_dims=True):
         alpha = ewald_error_alpha(dist_cutoff, error_tol)
         sides = np.asarray(jax.device_get(boundary.side_lengths))
         if mesh_dims is None:
             mesh_dims = pme_mesh_dims(sides, alpha, error_tol,
                                       smooth=smooth_dims)
         mods = bspline_moduli(order, mesh_dims)
-        etab = None
         if excl_pairs is None or len(excl_pairs) == 0:
             ei = jnp.zeros((0,), jnp.int32)
             ej = jnp.zeros((0,), jnp.int32)
         else:
             arr = np.asarray(excl_pairs, dtype=np.int32).reshape(-1, 2)
             ei, ej = jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1])
-            if n_atoms is not None:
-                from ..system import _pad_tables
-                deg = np.bincount(arr.reshape(-1), minlength=n_atoms).max()
-                etab = jnp.asarray(_pad_tables(n_atoms, arr[:, 0], arr[:, 1],
-                                               int(deg)))
         return cls(dist_cutoff=float(dist_cutoff), error_tol=float(error_tol),
                    order=order, mesh_dims=tuple(int(x) for x in mesh_dims),
                    epsilon_r=float(epsilon_r), alpha=float(alpha),
                    moduli_x=jnp.asarray(mods[0], dtype=dtype),
                    moduli_y=jnp.asarray(mods[1], dtype=dtype),
                    moduli_z=jnp.asarray(mods[2], dtype=dtype),
-                   excl_i=ei, excl_j=ej, excl_table=etab,
-                   scheduler=scheduler)
+                   excl_i=ei, excl_j=ej, scheduler=scheduler)
 
     # -- dense separable (MXU) pipeline -------------------------------------
     #
@@ -405,8 +383,10 @@ class PME(GeneralInteraction):
         # Measured alternatives that LOST on the bench chip (do not redo):
         # an atom-chunked W-matrix form (W = theta_x @ phi per chunk, VPU
         # contractions for y/z) ran 0.75 ms vs 0.42 ms for this per-axis
-        # chunked-D form, and a gather-table exclusion correction ran
-        # 0.86 ms vs 0.44 ms for the sparse scatter form.
+        # chunked-D form, and a per-atom gather-table exclusion correction
+        # ran 0.86 ms vs 0.44 ms for the sparse scatter form (both now
+        # superseded: the model builders fold exclusions into the fused
+        # bonded engine, see ewald_exclusion_list).
         (Ax, dAx), (By, dBy), (Cz, dCz) = tabs
         K1, K2, K3 = self.mesh_dims
         n = Ax.shape[0]
@@ -576,14 +556,9 @@ class PME(GeneralInteraction):
         e_recip, phi, vir = self._convolve(grid, boundary, dtype,
                                            needs_virial=needs_virial)
         forces = self._interp_dense(phi, tabs, q, recip, dtype)
-        if self.excl_table is not None:
-            f_ex, v_ex = _exclusion_force_virial_table(
-                q, coords, boundary, self.alpha, ke, self.excl_table,
-                needs_virial)
-        else:
-            f_ex, v_ex = _exclusion_force_virial(
-                q, coords, boundary, self.alpha, ke, self.excl_i,
-                self.excl_j, n, needs_virial)
+        f_ex, v_ex = _exclusion_force_virial(
+            q, coords, boundary, self.alpha, ke, self.excl_i,
+            self.excl_j, n, needs_virial)
         forces = forces + f_ex
         if needs_virial:
             _, e_charge = _corrections(q, self.alpha, boundary.volume(), ke)
@@ -627,5 +602,5 @@ class PME(GeneralInteraction):
 
 _register(PME, ["dist_cutoff", "error_tol", "coulomb_const", "epsilon_r",
                 "alpha", "moduli_x", "moduli_y", "moduli_z", "excl_i",
-                "excl_j", "excl_table"],
+                "excl_j"],
           ["order", "mesh_dims", "scheduler", "mesh_method"])

@@ -121,6 +121,37 @@ def test_pme_exclusions():
     assert np.allclose(np.asarray(f), -np.asarray(g), atol=1e-6)
 
 
+def test_ewald_exclusion_list_matches_in_pme_correction():
+    """The model builders route Ewald exclusion corrections through the fused
+    bonded engine (ewald_exclusion_list); energy, forces AND virial must
+    match the in-PME sparse correction exactly."""
+    from mollytpu.ops.ewald import ewald_exclusion_list
+    from mollytpu.ops.bonded import specific_energy, specific_forces
+
+    coords, boundary, atoms = random_charges(n=10, box=2.0, seed=3)
+    excl = [(0, 1), (2, 3), (4, 7)]
+    pme_x = PME.setup(boundary, dist_cutoff=0.9, error_tol=1e-5,
+                      excl_pairs=excl, dtype=jnp.float64)
+    pme_0 = PME.setup(boundary, dist_cutoff=0.9, error_tol=1e-5,
+                      dtype=jnp.float64)
+    sl = ewald_exclusion_list(excl, np.asarray(atoms.charge), pme_x.alpha,
+                              COULOMB_CONST, dtype=jnp.float64)
+    assert sl.kind == "ewald_exclusion" and sl.n_terms == len(excl)
+
+    e_b = float(specific_energy(sl, coords, boundary))
+    e_x = float(pme_x.energy(coords, boundary, atoms))
+    e_0 = float(pme_0.energy(coords, boundary, atoms))
+    assert e_0 + e_b == pytest.approx(e_x, rel=1e-12, abs=1e-12)
+
+    f_x, v_x = pme_x.force_virial(coords, boundary, atoms, needs_virial=True)
+    f_0, v_0 = pme_0.force_virial(coords, boundary, atoms, needs_virial=True)
+    f_b, v_b = specific_forces(sl, coords, boundary, needs_virial=True)
+    assert np.allclose(np.asarray(f_0) + np.asarray(f_b), np.asarray(f_x),
+                       atol=1e-10)
+    assert np.allclose(np.asarray(v_0) + np.asarray(v_b), np.asarray(v_x),
+                       atol=1e-10)
+
+
 def test_pme_virial_matches_strain_derivative():
     coords, boundary, atoms = random_charges(n=10, box=2.0, seed=4)
     pme = PME.setup(boundary, dist_cutoff=0.9, error_tol=1e-5, dtype=jnp.float64)

@@ -54,7 +54,7 @@ def main():
     full = time_variant(sim, sys, "", "full step")
     ew = tuple(p for p in sys.pairwise_inters
                if type(p).__name__ not in ("LennardJones", "CoulombEwald"))
-    nopair = time_variant(sim, sys.update(pairwise_inters=ew),
+    nopair = time_variant(sim, sys.update(pairwise_inters=ew), "",
                           "- pair kernel")
     prep = time_variant(sim, sys, "preponly", "variant: preponly")
     gath = time_variant(sim, sys, "gather_only", "variant: gather_only")
