@@ -89,7 +89,7 @@ from .sim.simulate import simulate
 from .sim.simulate import simulate_differentiable
 from .free_energy.mbar import (
     MBARInput, assemble_mbar_inputs, iterate_mbar, mbar_weights, mbar_pmf,
-    free_energy_differences, PMF,
+    pmf_with_uncertainty, free_energy_differences, PMF,
 )
 from .free_energy.stats import (
     statistical_inefficiency, subsample_indices, effective_sample_size,

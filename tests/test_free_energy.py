@@ -53,6 +53,63 @@ def test_mbar_pmf():
     assert np.max(np.abs(v[core] - v_exact[core])) < 0.15
 
 
+def test_pmf_uncertainty_matches_multinomial():
+    """Analytic gate for the asymptotic-covariance estimator: with a single
+    sampled state reweighted to itself, MBAR weights are uniform, p_i is the
+    bin count fraction, and the augmented-W variance must reduce to the
+    multinomial var(p_i) = p_i(1-p_i)/N (reference estimator: mbar.jl
+    pmf_with_uncertainty)."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    x = rng.normal(0.0, 1.0, n)
+    u_kn = (0.5 * x ** 2)[None, :].astype(np.float64)
+    inp = mt.MBARInput(u_kn=jnp.asarray(u_kn), n_k=jnp.asarray([n]))
+    from mollytpu.units import KB
+    temp = 1.0 / KB
+    edges = np.linspace(-2.5, 2.5, 11)
+    pmf = mt.pmf_with_uncertainty(inp, jnp.asarray(x), edges, temp,
+                                  target_state_u=jnp.asarray(u_kn[0]))
+    which = np.clip(np.searchsorted(edges, x) - 1, 0, 9)
+    counts = np.bincount(which, minlength=10)
+    p = counts / n
+    sigma_f_exact = np.sqrt(p * (1.0 - p) / n) / p     # delta method on -log p
+    unc = np.asarray(pmf.uncertainties)
+    assert np.isfinite(unc).all(), unc
+    assert np.allclose(unc, sigma_f_exact, rtol=0.02), (unc, sigma_f_exact)
+
+
+def test_pmf_uncertainty_shrinks_sqrt_n():
+    """Error bars from the covariance estimator shrink as 1/sqrt(N) and the
+    PMF converges to the analytic parabola (two harmonic umbrella windows)."""
+    rng = np.random.default_rng(8)
+    ks = np.array([1.0, 4.0])
+    centers = np.array([0.0, 1.0])
+    from mollytpu.units import KB
+    temp = 1.0 / KB
+    edges = np.linspace(-1.0, 2.0, 13)
+
+    def run(n_samp):
+        xs = [rng.normal(c, np.sqrt(1.0 / k), n_samp)
+              for k, c in zip(ks, centers)]
+        x = np.concatenate(xs)
+        u_kn = 0.5 * ks[:, None] * (x[None, :] - centers[:, None]) ** 2
+        # unbiased target: flat potential, so the PMF along x is the sum of
+        # the two umbrellas' unbiased densities -> uniform target state u=0
+        inp = mt.MBARInput(u_kn=jnp.asarray(u_kn),
+                           n_k=jnp.asarray([n_samp] * 2))
+        return mt.pmf_with_uncertainty(inp, jnp.asarray(x), edges, temp)
+
+    small = run(500)
+    big = run(8000)   # 16x samples -> 4x smaller error bars
+    u_s = np.asarray(small.uncertainties)
+    u_b = np.asarray(big.uncertainties)
+    core = np.isfinite(u_s) & np.isfinite(u_b)
+    assert core.sum() >= 8
+    ratio = np.median(u_s[core] / u_b[core])
+    assert 2.0 < ratio < 8.0, ratio     # ~4 expected
+    assert np.nanmax(u_b[core]) < 0.2   # converged bars are small
+
+
 def test_statistical_inefficiency():
     rng = np.random.default_rng(2)
     white = rng.normal(size=4000)
