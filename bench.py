@@ -21,7 +21,7 @@ import json
 import os
 import time
 
-# autotuned for this workload (tools/sweep_6mrr.py); must be set before
+# autotuned for this workload (tools/sweep.py); must be set before
 # mollytpu imports
 os.environ.setdefault("MOLLYTPU_LANES", "512")
 
@@ -34,15 +34,53 @@ CADENCE = int(os.environ.get("MOLLYTPU_BENCH_CADENCE", "20"))
 DT_PS = 0.002
 
 
+def _tiny_waterbox_pdb():
+    """Generate (once) a 64-molecule TIP3P water lattice in a 26 A cube —
+    the MOLLYTPU_BENCH_TINY=1 stand-in for 6mrr so the tools/ decomposition
+    scripts can be smoke-run on CPU in seconds (same structure: PME +
+    rigid-water constraints + BlockPairFinder)."""
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), "mollytpu_tiny_waterbox.pdb")
+    if os.path.exists(path):
+        return path
+    lines = ["CRYST1   26.000   26.000   26.000  90.00  90.00  90.00 P 1"
+             "           1"]
+    serial = 1
+    for i in range(4):
+        for j in range(4):
+            for k in range(4):
+                ox, oy, oz = 3.25 + 6.5 * i, 3.25 + 6.5 * j, 3.25 + 6.5 * k
+                res = i * 16 + j * 4 + k + 1
+                for name, (x, y, z) in (("O", (ox, oy, oz)),
+                                        ("H1", (ox + 0.9572, oy, oz)),
+                                        ("H2", (ox - 0.2400, oy + 0.9266,
+                                                oz))):
+                    lines.append(
+                        "HETATM%5d %4s %-4sA%4d    %8.3f%8.3f%8.3f"
+                        "  1.00  0.00          %2s" % (
+                            serial, (" " + name).ljust(4)[:4], "HOH",
+                            res, x, y, z, name[0]))
+                    serial += 1
+    lines.append("END")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
 def build(dtype=jnp.float32):
     import mollytpu as mt
     from mollytpu.models.forcefield import ForceField
     from mollytpu.models.setup import system_from_pdb
     from mollytpu.ops.blockpairs import BlockPairFinder
 
-    ff = ForceField(f"{DATA}/force_fields/ff99SBildn.xml",
-                    f"{DATA}/force_fields/tip3p_standard.xml")
-    sys = system_from_pdb(f"{DATA}/6mrr_equil.pdb", ff,
+    if os.environ.get("MOLLYTPU_BENCH_TINY", "0") == "1":
+        ff = ForceField(f"{DATA}/force_fields/tip3p_standard.xml")
+        pdb_path = _tiny_waterbox_pdb()
+    else:
+        ff = ForceField(f"{DATA}/force_fields/ff99SBildn.xml",
+                        f"{DATA}/force_fields/tip3p_standard.xml")
+        pdb_path = f"{DATA}/6mrr_equil.pdb"
+    sys = system_from_pdb(pdb_path, ff,
                           nonbonded_method="pme", dtype=dtype,
                           constraints="hbonds", rigid_water=True,
                           dist_neighbors=1.0 + SKIN)

@@ -5,6 +5,11 @@ tables+spread+conv; ...) so the ~1.4 ms per-dispatch device gap of the
 tunneled TPU cancels in the differences (standalone per-op timings are
 inflated by that constant; see tools/qtime.py).
 
+Note: the model builders fold Ewald exclusion corrections into the fused
+bonded engine (ops/ewald.py ewald_exclusion_list), so the final "+ excl
+corr" delta is ~0 on bench systems; it only measures the in-PME escape
+hatch when PME was built with excl_pairs directly.
+
     PYTHONPATH=/root/.axon_site:/root/repo:/root/repo/tools python tools/pme_decompose.py
 """
 import os
@@ -12,11 +17,10 @@ import os
 os.environ.setdefault("MOLLYTPU_LANES", "512")
 
 import jax
-import jax.numpy as jnp
 
 import bench
 from qtime import qtime
-from mollytpu.ops.ewald import _effective_charges, _exclusion_force_virial
+from mollytpu.ops.ewald import _effective_charges
 
 
 def main():
@@ -25,9 +29,8 @@ def main():
     coords, boundary, atoms = sys.coords, sys.boundary, sys.atoms
     dtype = coords.dtype
     q = _effective_charges(atoms, pme.scheduler)
-    ke = pme.coulomb_const / pme.epsilon_r
     print(f"mesh_dims={pme.mesh_dims} order={pme.order} alpha={pme.alpha:.3f}"
-          f" n_excl={pme.excl_i.shape[0]}", flush=True)
+          f" n_excl_in_pme={pme.excl_i.shape[0]}", flush=True)
 
     def upto_tables(c):
         tabs, recip = pme._dense_tables(c, boundary, q, dtype)
@@ -51,19 +54,6 @@ def main():
     def upto_full(c):
         return pme.force_virial(c, boundary, atoms)[0]
 
-    def upto_interp_w(c):
-        tabs, recip = pme._dense_tables(c, boundary, q, dtype)
-        grid = pme._spread_dense(tabs, q, dtype)
-        _, phi, _ = pme._convolve(grid, boundary, dtype)
-        return pme._interp_dense_w(phi, tabs, q, recip, dtype)
-
-    from mollytpu.ops.ewald import _exclusion_force_virial_table
-
-    def upto_full_sparse(c):
-        import dataclasses as _dc
-        p2 = _dc.replace(pme, excl_table=None)
-        return p2.force_virial(c, boundary, atoms)[0]
-
     prev = 0.0
     for name, fn in [("dense tables", upto_tables),
                      ("+ spread", upto_spread),
@@ -74,16 +64,6 @@ def main():
         print(f"  {name:24s} {t:7.3f} ms  (delta {t - prev:+.3f})",
               flush=True)
         prev = t
-
-    t_w = qtime(jax.jit(upto_interp_w), coords)
-    print(f"  [alt] W-matrix interp    {t_w:7.3f} ms", flush=True)
-    import numpy as np
-    fa = np.asarray(jax.jit(upto_interp)(coords))
-    fb = np.asarray(jax.jit(upto_interp_w)(coords))
-    print(f"  W vs D interp max diff: {np.abs(fa - fb).max():.2e}",
-          flush=True)
-    t_s = qtime(jax.jit(upto_full_sparse), coords)
-    print(f"  [alt] sparse excl corr   {t_s:7.3f} ms (full)", flush=True)
 
 
 if __name__ == "__main__":
