@@ -1170,9 +1170,11 @@ class TSSState:
             # per-window refresh against the global rung weights (dead
             # states q == 0 contribute nothing, exactly as the per-state
             # loop skipped them — masking also avoids -inf - -inf = NaN)
-            refresh_rows = np.where(
-                member & live_g[None, :],
-                log_qg[None, :] + base - log_mix[None, :], -np.inf)
+            with np.errstate(invalid="ignore"):
+                # dead states (q == 0) hit -inf - -inf before the mask
+                refresh_rows = np.where(
+                    member & live_g[None, :],
+                    log_qg[None, :] + base - log_mix[None, :], -np.inf)
             refresh = self._row_logsumexp(refresh_rows, axis=1)  # (W,)
             if np.any(live_w & ~np.isfinite(refresh)):
                 bad = int(np.argmax(live_w & ~np.isfinite(refresh)))

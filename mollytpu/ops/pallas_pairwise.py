@@ -986,6 +986,15 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         sidx = jnp.where(is_real, order, n)
         a_bits = bits4[:, sidx].reshape(4, b, BLOCK).transpose(1, 0, 2)
     if a_bits is None:
+        if exclusions is not None and exclusions.excl_i is not None \
+                and exclusions.excl_i.shape[0] > 0:
+            # an Exclusions built without bitmaps (direct construction or
+            # pre-bitmap pickles) must not silently fall through to "nothing
+            # excluded" — that corrupts forces with no error
+            raise ValueError(
+                "Exclusions has excluded pairs but no excl_bits bitmaps; "
+                "rebuild it with Exclusions.build(...) so the Pallas kernel "
+                "can apply them")
         # no exclusions at all: zero bitmaps (nothing excluded/special)
         a_bits = jnp.zeros((b, 4, BLOCK), jnp.int32)
 

@@ -145,6 +145,11 @@ class BerendsenBarostat:
     scale_molecules: bool = dataclasses.field(default=False, metadata={"static": True})
 
     invalidates_forces = True
+    # Protocol attribute: simulate() re-derives neighbor-finder geometry
+    # between chunks only when a coupler declares it can change the box.
+    # Any user-defined box-changing coupler MUST set is_barostat = True,
+    # or its box changes silently skip the NPT staleness re-setup.
+    is_barostat = True
 
     @property
     def needs_virial_interval(self):
@@ -197,6 +202,7 @@ class MonteCarloBarostat:
                                       metadata={"static": True})
 
     invalidates_forces = True
+    is_barostat = True  # see BerendsenBarostat: required for NPT re-setup
     needs_virial_interval = 0
 
     def init_state(self, sys):
@@ -296,6 +302,7 @@ class CRescaleBarostat:
     max_scale_frac: float = 0.1
 
     invalidates_forces = True
+    is_barostat = True  # see BerendsenBarostat: required for NPT re-setup
 
     @property
     def needs_virial_interval(self):

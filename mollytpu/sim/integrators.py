@@ -14,6 +14,14 @@ TPU-native contract: an integrator is an immutable pytree with
 so one step is one pure function the simulate loop can lax.scan — no host
 round-trips (the reference's loop syncs to the host every step). Constraint
 (SHAKE/RATTLE) and virtual-site hooks mirror the reference's call sites.
+
+Carry contract: inside a simulate() chunk only ``coords``, ``velocities``
+and ``boundary`` (plus ``aux`` and the RNG key) are threaded between steps;
+every other System field is closed over as a constant. A custom simulator's
+``step`` must therefore confine its per-step mutations to those three fields
+(put anything else in ``aux``) — updates to e.g. ``atoms`` or interaction
+parameters are silently dropped at the next step. See simulate.py's carry
+discipline note for why (tens-of-MB loop-invariant pytree leaves).
 """
 
 from __future__ import annotations
