@@ -69,6 +69,18 @@ def _lj_shortcut(ai, aj):
     return ok & (li != 0) & (lj != 0)
 
 
+def _safe_fracpow(x, p):
+    """x**p (0 < p < 1, x >= 0) with a well-defined zero gradient at x == 0.
+
+    d/dx x**p is infinite at 0, so a plain ``x**p`` turns any upstream
+    zero-cotangent into NaN under reverse-mode AD (inf * 0) — this bites the
+    Gapsys soft-core families at sterics/elec lambda == 1, where the soft-core
+    radius argument is exactly 0 and parameter gradients of a differentiable
+    alchemical simulation silently NaN."""
+    pos = x > 0
+    return jnp.where(pos, jnp.where(pos, x, 1.0) ** p, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Lennard-Jones family
 
@@ -162,7 +174,7 @@ class LennardJonesSoftCoreGapsys:
         c12 = c6 * sig6
         # r_LJ = alpha * (26 C12 (1-lam) / (7 C6))^(1/6); 0 when lam = 1.
         ratio = jnp.where(c6 > 0, 26.0 * c12 * (1.0 - lam) / (7.0 * jnp.maximum(c6, 1e-30)), 0.0)
-        r_lj = self.alpha * ratio ** (1.0 / 6.0)
+        r_lj = self.alpha * _safe_fracpow(ratio, 1.0 / 6.0)
 
         def u(rr):
             outer = c12 / rr ** 12 - c6 / rr ** 6
@@ -563,7 +575,7 @@ class CoulombSoftCoreGapsys:
         lam = elec_lambda(self.scheduler, lam_glob, _role(ai), _role(aj))
         ke = self.coulomb_const
         qq = ai.charge * aj.charge
-        rq = self.alpha * (1.0 - lam) ** (1.0 / 6.0) * (1.0 + self.sigma_q * jnp.abs(qq))
+        rq = self.alpha * _safe_fracpow(1.0 - lam, 1.0 / 6.0) * (1.0 + self.sigma_q * jnp.abs(qq))
 
         def u(rr):
             outer = ke * qq / rr
@@ -734,7 +746,7 @@ class CoulombSoftCoreGapsysEwald:
         lam = elec_lambda(self.scheduler, lam_glob, _role(ai), _role(aj))
         ke = self.coulomb_const
         qq = ai.charge * aj.charge
-        rq = self.alpha_sc * (1.0 - lam) ** (1.0 / 6.0) * (1.0 + self.sigma_q * jnp.abs(qq))
+        rq = self.alpha_sc * _safe_fracpow(1.0 - lam, 1.0 / 6.0) * (1.0 + self.sigma_q * jnp.abs(qq))
         rs = jnp.minimum(r, self.dist_cutoff)
         rqs = jnp.maximum(rq, 1e-9)
         outer = ke * qq / rs
@@ -810,7 +822,7 @@ class CoulombSoftCoreGapsysReactionField:
         lam = elec_lambda(self.scheduler, lam_glob, _role(ai), _role(aj))
         ke = self.coulomb_const
         qq = ai.charge * aj.charge
-        rq = self.alpha * (1.0 - lam) ** (1.0 / 6.0) * (1.0 + self.sigma_q * jnp.abs(qq))
+        rq = self.alpha * _safe_fracpow(1.0 - lam, 1.0 / 6.0) * (1.0 + self.sigma_q * jnp.abs(qq))
         krf, crf = _rf_constants(self.dist_cutoff, self.solvent_dielectric)
         rs = jnp.minimum(r, self.dist_cutoff)
         rqs = jnp.maximum(rq, 1e-9)
