@@ -245,7 +245,7 @@ def _improper_ordering(ff, rule, perm, c, j, k, l, struct, type_of):
     return (j, k, c, l)
 
 
-BUILD_CACHE_VERSION = 4   # bumped: PME exclusions fold into the bonded engine
+BUILD_CACHE_VERSION = 5   # bumped: cluster-granular j-lists (BlockPairs.cluster_idx)
 
 
 def _models_code_fingerprint():

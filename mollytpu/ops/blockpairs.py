@@ -136,13 +136,28 @@ class BlockPairs:
     order: jax.Array        # (N_pad,) int32 — sorted atom ids, sentinel = N
     inv_order: jax.Array    # (N_pad,) int32 — sorted position of atom i
                             # (unsort forces by GATHER; scatter is ~0.4us/el)
-    jcount: jax.Array       # (B,) int32 — true j-candidate count per i-block
+    jcount: jax.Array       # (B,) int32 — true j-candidate count per i-block,
+                            # in CLUSTER units (atoms / finder.cluster)
     flat_i: jax.Array       # (P,) int32 i-block of each work item
     row_start: jax.Array    # (B,) int32 first work item of each i-block
     n_items: jax.Array      # (1,) int32 live work items (rest are padding)
     n_pairs: jax.Array      # (1,) int32 true interacting block-pair count
     work_idx: jax.Array     # (P * LANES,) int32 sorted-space j positions per
-                            # item; padding = N_pad (a sentinel with id >= N)
+                            # item; padding = N_pad (a sentinel with id >= N).
+                            # Lane l of item p holds member (l // (LANES/CL))
+                            # of cluster cluster_idx[p, l % (LANES/CL)] — the
+                            # member-strided order the kernel's cluster-tile
+                            # concatenation expects.
+    cluster_idx: jax.Array  # (P * LANES/CL,) int32 sorted-space j CLUSTER
+                            # positions (CL consecutive sorted atoms per
+                            # cluster); padding = N_pad/CL. The per-step
+                            # j-coordinate gather indexes clusters, not atoms:
+                            # the TPU batched gather costs ~2.4 cycles per
+                            # INDEX regardless of row count (measured,
+                            # tools/gather_probe.py), so CL=4 cuts the
+                            # dominant per-step gather 4x for free (serpentine
+                            # neighbors of a block are cluster-dense: measured
+                            # +0.4% slot inflation at CL=4 on 6mrr, +14% at 8)
     j_static: jax.Array     # (4, P * LANES) sigma/sqrt(eps)/charge/id packed
                             # at rebuild, or None when the finder has no
                             # atom_static snapshot (caller gathers per step)
@@ -167,8 +182,8 @@ class BlockPairs:
 
 _register(BlockPairs,
           ["order", "inv_order", "jcount", "flat_i", "row_start", "n_items",
-           "n_pairs", "work_idx", "j_static", "centers", "a_stat", "a_bits",
-           "overflow", "step_built"])
+           "n_pairs", "work_idx", "cluster_idx", "j_static", "centers",
+           "a_stat", "a_bits", "overflow", "step_built"])
 
 
 @jax.jit
@@ -218,6 +233,12 @@ class BlockPairFinder:
     # module-level env values so existing callers are unchanged
     block: int = dataclasses.field(default=BLOCK, metadata={"static": True})
     lanes: int = dataclasses.field(default=LANES, metadata={"static": True})
+    # j-list granularity: CL consecutive sorted atoms per gathered cluster.
+    # The per-step coordinate gather is per-INDEX-bound on TPU (measured
+    # ~2.4 cycles/index whatever the row count, tools/gather_probe.py), so
+    # cluster lists divide its cost by CL; serpentine locality makes CL=4
+    # inflation-free (+0.4% slots on 6mrr). CL=1 is the legacy per-atom list.
+    cluster: int = dataclasses.field(default=4, metadata={"static": True})
 
     is_block_finder = True
 
@@ -242,7 +263,7 @@ class BlockPairFinder:
             boundary, self.dist_cutoff, n_atoms, n_steps=self.n_steps,
             coords=coords,
             atoms=atoms if self.atom_static is not None else None,
-            block=self.block, lanes=self.lanes)
+            block=self.block, lanes=self.lanes, cluster=self.cluster)
 
     @property
     def n_blocks(self):
@@ -251,13 +272,19 @@ class BlockPairFinder:
     @classmethod
     def setup(cls, boundary, dist_cutoff, n_atoms, n_steps=1,
               max_nbr_blocks=None, max_jlist=None, cell_size=None, coords=None,
-              atoms=None, margin_blocks=4, block=None, lanes=None):
+              atoms=None, margin_blocks=4, block=None, lanes=None,
+              cluster=None):
         """If `coords` is given, capacities are sized from a trial build on
         the actual configuration (max counts + margin) instead of the density
         estimate — Z-order blocks straddling power-of-2 boundaries can exceed
         the mean estimate by several x."""
         BLOCK = int(block) if block else globals()["BLOCK"]
         LANES = int(lanes) if lanes else globals()["LANES"]
+        CL = int(cluster) if cluster else int(
+            os.environ.get("MOLLYTPU_CLUSTER", "4"))
+        # cluster granularity must tile both the block and the lane chunk
+        while CL > 1 and (BLOCK % CL or LANES % CL):
+            CL //= 2
         # perpendicular cell widths: == side lengths for orthorhombic, the
         # correct per-axis thickness for triclinic (geometry sizing + MIC
         # validity both need widths, not edge lengths)
@@ -335,7 +362,7 @@ class BlockPairFinder:
                      max_pairs=max_pairs, max_jlist=max_jlist,
                      n_steps=n_steps, hoist_mic=hoist_mic,
                      ref_sides=tuple(float(s) for s in sides),
-                     block=BLOCK, lanes=LANES)
+                     block=BLOCK, lanes=LANES, cluster=CL)
         if coords is not None:
             trial = _trial_find(finder, coords, boundary)
             pair_over = int(jax.device_get(trial.overflow)) >> 20
@@ -353,7 +380,8 @@ class BlockPairFinder:
             finder = dataclasses.replace(
                 finder, max_pairs=max(4, ((min(n_blocks * n_blocks, sized_p)
                                            + 3) // 4) * 4))
-            max_cnt = int(jax.device_get(jnp.max(trial.jcount)))
+            # trial.jcount is in CLUSTER units; size max_jlist in atoms
+            max_cnt = int(jax.device_get(jnp.max(trial.jcount))) * CL
             # 2x: j-counts jump when a rebuild lands a block across a
             # serpentine plane corner (2x2x3-cell AABB), and a saturated
             # j-list silently drops real pairs until the next overflow
@@ -363,7 +391,8 @@ class BlockPairFinder:
             sized_k = min(n_pad, ((int(max_cnt * 2.0) + BLOCK + LANES - 1)
                                   // LANES) * LANES)
             total_work = int(jax.device_get(jnp.sum(
-                (jnp.minimum(trial.jcount, sized_k) + LANES - 1) // LANES)))
+                (jnp.minimum(trial.jcount, sized_k // CL)
+                 + (LANES // CL) - 1) // (LANES // CL))))
             finder = dataclasses.replace(
                 finder, max_jlist=sized_k,
                 max_work_items=int(total_work * 1.25) + 16)
@@ -558,21 +587,34 @@ class BlockPairFinder:
         keep = (per_lane(pair_ok.astype(jnp.int32)) * (d2 < rc2)
                 ).reshape(-1) > 0                           # (T*BLOCK,)
 
+        # reduce atom keeps to CLUSTER keeps (OR over the CL members): a
+        # cluster is listed when any member is in range; the kernel's
+        # per-slot r^2 test culls the rest. The compact sort then runs on
+        # T*BLOCK/CL elements and the per-step coordinate gather on
+        # P*LANES/CL indices — the per-index gather cost (the roofline's
+        # 0.96 ms line) divides by CL.
+        CL = self.cluster
+        BC = BLOCK // CL                                    # clusters/block
+        CPL = LANES // CL                                   # clusters/item
+        npc = n_pad // CL                                   # total clusters
+        keep_c = jnp.any(keep.reshape(t_max, BC, CL), axis=2)  # (T, BC)
+        cand_c = (pair_j[:, None] * BC
+                  + jnp.arange(BC, dtype=jnp.int32)[None, :])  # (T, BC)
+
         # one global compact sort: the pair list is block-major, so kept
-        # atoms land grouped by i-block in column order
-        t32 = t_max * BLOCK
-        fidx = jnp.arange(t32, dtype=jnp.int32)
-        akeys = jnp.where(keep, fidx, t32 + fidx)
-        sk, svals = jax.lax.sort_key_val(akeys, cand_flat)
-        svals = jnp.where(sk < t32, svals, n_pad)
+        # clusters land grouped by i-block in column order
+        tbc = t_max * BC
+        fidx = jnp.arange(tbc, dtype=jnp.int32)
+        akeys = jnp.where(keep_c.reshape(-1), fidx, tbc + fidx)
+        sk, svals = jax.lax.sort_key_val(akeys, cand_c.reshape(-1))
+        svals = jnp.where(sk < tbc, svals, npc)
 
         # per-block kept counts: per-pair row sums (T,) then a one-hot MXU
         # segment-sum over pair_i — replaces a 1.15M-element cumsum +
         # searchsorted (the cumsum alone measured ~0.8 ms at 6mrr scale);
         # kstart is then a length-B cumsum, consistent with the block-major
         # compaction order of the sort above
-        row_kept = jnp.sum(keep.reshape(t_max, BLOCK).astype(jnp.float32),
-                           axis=1)                          # (T,)
+        row_kept = jnp.sum(keep_c.astype(jnp.float32), axis=1)  # (T,)
         onehot_i = (pair_i[:, None]
                     == jnp.arange(b, dtype=jnp.int32)[None, :]
                     ).astype(jnp.float32)                   # (T, B)
@@ -581,12 +623,12 @@ class BlockPairFinder:
             precision=jax.lax.Precision.HIGHEST)[0].astype(jnp.int32)
         kstart = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(jcount)[:-1]])
-        kk = self.max_jlist
+        kk = self.max_jlist // CL                           # cluster capacity
         j_overflow = jnp.maximum(jnp.max(jcount) - kk, 0).astype(jnp.int32)
 
         # flat (i-block, j-chunk) work items via one small sort
-        nchunk = kk // LANES
-        cpr = (jnp.minimum(jcount, kk) + LANES - 1) // LANES  # chunks per row
+        nchunk = kk // CPL
+        cpr = (jnp.minimum(jcount, kk) + CPL - 1) // CPL   # chunks per row
         row_start = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(cpr.astype(jnp.int32))[:-1]])
@@ -618,16 +660,25 @@ class BlockPairFinder:
         flat_c = jnp.where(live_it, flat_c, 0)
         work_overflow = jnp.maximum(total - p_max, 0).astype(jnp.int32)
 
-        # work-layout j position tiles: item p covers kept atoms
-        # [kstart[i] + c*LANES, ...); tail lanes past jcount -> sentinel.
+        # work-layout j position tiles: item p covers kept clusters
+        # [kstart[i] + c*CPL, ...); tail lanes past jcount -> sentinel.
         # svals is stacked to 2 rows so the gather takes the batched form.
-        lanes = jnp.arange(LANES, dtype=jnp.int32)
-        offs = flat_c[:, None] * LANES + lanes[None, :]     # (P, LANES)
-        src = jnp.minimum(kstart[flat_i][:, None] + offs, t32 - 1)
+        lanes_c = jnp.arange(CPL, dtype=jnp.int32)
+        offs = flat_c[:, None] * CPL + lanes_c[None, :]     # (P, CPL)
+        src = jnp.minimum(kstart[flat_i][:, None] + offs, tbc - 1)
         sv2 = jnp.stack([svals, svals])
         gathered = sv2[:, src][0]
         valid = offs < jcount[flat_i][:, None]
-        work_idx = jnp.where(valid, gathered, n_pad).reshape(p_max * LANES)
+        ci2 = jnp.where(valid, gathered, npc)               # (P, CPL)
+        cluster_idx = ci2.reshape(p_max * CPL)
+        # derived per-atom positions, member-strided: lane l of item p holds
+        # member (l // CPL) of cluster ci2[p, l % CPL] — matching the
+        # kernel's concatenation of the (3*CL, CPL) coordinate tile rows.
+        # Sentinel clusters map every member lane to the n_pad zero column.
+        mem = jnp.arange(CL, dtype=jnp.int32)
+        wi = ci2[:, None, :] * CL + mem[None, :, None]      # (P, CL, CPL)
+        work_idx = jnp.where(ci2[:, None, :] < npc, wi,
+                             n_pad).reshape(p_max * LANES)
 
         # static fields pack once per rebuild when available
         j_static = None
@@ -681,7 +732,8 @@ class BlockPairFinder:
                           flat_i=flat_i, row_start=row_start,
                           n_items=jnp.minimum(total, p_max).reshape(1),
                           n_pairs=total_pairs.reshape(1),
-                          work_idx=work_idx, j_static=j_static,
+                          work_idx=work_idx, cluster_idx=cluster_idx,
+                          j_static=j_static,
                           centers=centers, a_stat=a_stat, a_bits=a_bits,
                           overflow=overflow,
                           step_built=jnp.asarray(step_n, jnp.int32))
@@ -690,7 +742,7 @@ class BlockPairFinder:
 _register(BlockPairFinder, ["dist_cutoff", "atom_static"],
           ["grid_dims", "sort_dims", "n_pad", "max_pairs", "max_jlist",
            "max_work_items", "n_steps", "hoist_mic", "ref_sides",
-           "resetup_drift", "block", "lanes"])
+           "resetup_drift", "block", "lanes", "cluster"])
 
 
 def decode_overflow(ov):

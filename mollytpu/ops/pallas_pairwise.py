@@ -932,19 +932,40 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         a_stat = stat4.reshape(4, b, BLOCK).transpose(1, 0, 2)
     a_stat = a_stat.astype(dtype)
 
-    # j coordinates: ONE raw 3-row gather in work layout (j-side MIC + the
-    # local-frame shift happen in the kernel)
+    # j coordinates: ONE raw gather in work layout (j-side MIC + the
+    # local-frame shift happen in the kernel). The gather indexes CLUSTERS
+    # of CL consecutive sorted atoms — the TPU batched gather is per-INDEX
+    # bound (~2.4 cycles/index whatever the row count, tools/gather_probe.py),
+    # so the (3*CL, n_pad/CL) source layout divides the dominant per-step
+    # cost by CL. Row f*CL + m holds field f of member m; a cheap XLA
+    # transpose de-interleaves members back to the kernel's (3, LANES)
+    # work layout (lane l = m*(LANES/CL) + c — the finder's member-strided
+    # work_idx order). Mosaic cannot concatenate lanes across 128-lane
+    # tiles in-kernel, so the de-interleave stays outside; it moves CPL=
+    # LANES/CL contiguous lanes per row and costs ~2 passes over 6 MB.
     hoist_mic = getattr(finder, "hoist_mic", False)
-    fc3 = jnp.concatenate([sorted3c, jnp.zeros((3, 1), dtype)], axis=1)
+    CL = int(getattr(finder, "cluster", 1) or 1)
+    CPL = LANES // CL
     variant = os.environ.get("MOLLYTPU_PAIR_VARIANT", "")
     if variant == "nogather":
         # roofline probe: skip the per-step work-layout j-coordinate gather
         # (a broadcast fill of one real coordinate row keeps shapes/DMA
-        # identical) — full - this = the XLA gather's cost
-        j_coords = jnp.broadcast_to(fc3[:, :1],
+        # identical) — full - this = the XLA gather + de-interleave cost
+        fc1 = jnp.concatenate([sorted3c, jnp.zeros((3, 1), dtype)], axis=1)
+        j_coords = jnp.broadcast_to(fc1[:, :1],
                                     (3, blockpairs.work_idx.shape[0]))
+    elif CL > 1:
+        cXc = (sorted3c.reshape(3, n_pad // CL, CL)
+               .transpose(0, 2, 1).reshape(3 * CL, n_pad // CL))
+        fcC = jnp.concatenate([cXc, jnp.zeros((3 * CL, 1), dtype)], axis=1)
+        jg = fcC[:, blockpairs.cluster_idx]          # (3*CL, P*CPL)
+        p_items = blockpairs.cluster_idx.shape[0] // CPL
+        j_coords = (jg.reshape(3, CL, p_items, CPL)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(3, p_items * LANES))
     else:
-        j_coords = fc3[:, blockpairs.work_idx]               # (3, P*LANES)
+        fc1 = jnp.concatenate([sorted3c, jnp.zeros((3, 1), dtype)], axis=1)
+        j_coords = fc1[:, blockpairs.work_idx]       # (3, P*LANES)
     from .blockpairs import kernel_mic_row
     box = kernel_mic_row(boundary, dtype)                    # (1, 12)
 

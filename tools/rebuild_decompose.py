@@ -139,15 +139,22 @@ def main():
           flush=True)
     keep, cand_flat = stage_refine(s3, centers, exts, pair_ok, pair_i, pair_j)
 
+    CL = getattr(finder, "cluster", 1) or 1
+    BC = BLOCK // CL
+
     @jax.jit
     def stage_compactsort(keep, cand_flat):
-        t32 = t_max * BLOCK
-        fidx = jnp.arange(t32, dtype=jnp.int32)
-        akeys = jnp.where(keep, fidx, t32 + fidx)
-        sk, svals = jax.lax.sort_key_val(akeys, cand_flat)
-        return jnp.where(sk < t32, svals, n_pad)
+        # cluster-granular compact (production form): OR member keeps, sort
+        # T*BLOCK/CL cluster slots
+        keep_c = jnp.any(keep.reshape(t_max, BC, CL), axis=2).reshape(-1)
+        cand_c = cand_flat.reshape(t_max, BC, CL)[:, :, 0].reshape(-1) // CL
+        tbc = t_max * BC
+        fidx = jnp.arange(tbc, dtype=jnp.int32)
+        akeys = jnp.where(keep_c, fidx, tbc + fidx)
+        sk, svals = jax.lax.sort_key_val(akeys, cand_c)
+        return jnp.where(sk < tbc, svals, n_pad // CL)
 
-    print(f"  global compact sort (t32={t_max * BLOCK}): "
+    print(f"  global compact sort (tbc={t_max * BC}): "
           f"{qtime(stage_compactsort, keep, cand_flat):.3f} ms", flush=True)
 
     @jax.jit
@@ -194,18 +201,24 @@ def main():
 
     @jax.jit
     def stage_jgather(svals, kstart, flat_i, jcount):
-        nchunk = finder.max_jlist // LANES
+        # cluster-granular work tiles + the derived member-strided work_idx
+        CPL = LANES // CL
         flat_c = jnp.zeros_like(flat_i)
-        lanes = jnp.arange(LANES, dtype=jnp.int32)
-        offs = flat_c[:, None] * LANES + lanes[None, :]
-        src = jnp.minimum(kstart[flat_i][:, None] + offs, t_max * BLOCK - 1)
+        lanes_c = jnp.arange(CPL, dtype=jnp.int32)
+        offs = flat_c[:, None] * CPL + lanes_c[None, :]
+        src = jnp.minimum(kstart[flat_i][:, None] + offs, t_max * BC - 1)
         sv2 = jnp.stack([svals, svals])
         gathered = sv2[:, src][0]
         valid = offs < jcount[flat_i][:, None]
-        return jnp.where(valid, gathered, n_pad).reshape(-1)
+        ci2 = jnp.where(valid, gathered, n_pad // CL)
+        mem = jnp.arange(CL, dtype=jnp.int32)
+        wi = ci2[:, None, :] * CL + mem[None, :, None]
+        return jnp.where(ci2[:, None, :] < n_pad // CL, wi, n_pad).reshape(-1)
 
-    print(f"  work_idx gather:           "
-          f"{qtime(stage_jgather, svals, kstart, flat_i, jcount):.3f} ms",
+    svals_c = stage_compactsort(keep, cand_flat)
+    jcount_c = (jcount + CL - 1) // CL
+    print(f"  work tiles gather:         "
+          f"{qtime(stage_jgather, svals_c, kstart, flat_i, jcount_c):.3f} ms",
           flush=True)
 
 
