@@ -137,7 +137,13 @@ class BlockPairs:
     inv_order: jax.Array    # (N_pad,) int32 — sorted position of atom i
                             # (unsort forces by GATHER; scatter is ~0.4us/el)
     jcount: jax.Array       # (B,) int32 — true j-candidate count per i-block,
-                            # in CLUSTER units (atoms / finder.cluster)
+                            # in CLUSTER units (atoms / finder.cluster).
+                            # HALF-ORIENTATION lists: only clusters of blocks
+                            # J >= I appear in block I's list (each cross-
+                            # block pair is evaluated ONCE; the kernel emits
+                            # per-lane j-side partial forces, accumulated by
+                            # the occ_idx transpose map below). The self block
+                            # J == I carries both orderings in-tile.
     flat_i: jax.Array       # (P,) int32 i-block of each work item
     row_start: jax.Array    # (B,) int32 first work item of each i-block
     n_items: jax.Array      # (1,) int32 live work items (rest are padding)
@@ -158,9 +164,19 @@ class BlockPairs:
                             # dominant per-step gather 4x for free (serpentine
                             # neighbors of a block are cluster-dense: measured
                             # +0.4% slot inflation at CL=4 on 6mrr, +14% at 8)
-    j_static: jax.Array     # (4, P * LANES) sigma/sqrt(eps)/charge/id packed
-                            # at rebuild, or None when the finder has no
-                            # atom_static snapshot (caller gathers per step)
+    occ_idx: jax.Array      # (npc * K,) int32 transpose of cluster_idx: for
+                            # each j-cluster c, the (padded to K = finder.
+                            # max_occ) list of positions p*CPL + slot in the
+                            # flattened cluster_idx where c occurs; sentinel =
+                            # P*CPL (a zero column appended to the kernel's
+                            # j-partial output). The per-step j-side force
+                            # accumulation is ONE rebuild-static batched
+                            # gather + a K-axis sum — no scatter anywhere.
+    j_static: jax.Array     # (5, P * LANES) sigma/sqrt(eps)/charge/id/jpos
+                            # (jpos = sorted position, for the kernel's
+                            # same-block test) packed at rebuild, or None
+                            # when the finder has no atom_static snapshot
+                            # (caller gathers per step)
     centers: jax.Array      # (3, B) i-block AABB centers (kernel-local frame
                             # + per-entry MIC hoisted out of the kernel)
     a_stat: jax.Array       # (B, 4, BLOCK) sigma/sqrt(eps)/charge/id in
@@ -182,8 +198,8 @@ class BlockPairs:
 
 _register(BlockPairs,
           ["order", "inv_order", "jcount", "flat_i", "row_start", "n_items",
-           "n_pairs", "work_idx", "cluster_idx", "j_static", "centers",
-           "a_stat", "a_bits", "overflow", "step_built"])
+           "n_pairs", "work_idx", "cluster_idx", "occ_idx", "j_static",
+           "centers", "a_stat", "a_bits", "overflow", "step_built"])
 
 
 @jax.jit
@@ -239,6 +255,11 @@ class BlockPairFinder:
     # cluster lists divide its cost by CL; serpentine locality makes CL=4
     # inflation-free (+0.4% slots on 6mrr). CL=1 is the legacy per-atom list.
     cluster: int = dataclasses.field(default=4, metadata={"static": True})
+    # capacity of the j-side occurrence transpose windows (max work-item
+    # listings of one j-cluster, padded to this K); sized from the trial
+    # build in setup(). A cluster is listed at most once per i-block, so K
+    # is bounded by the block neighbor count of the densest cluster.
+    max_occ: int = dataclasses.field(default=32, metadata={"static": True})
 
     is_block_finder = True
 
@@ -396,6 +417,17 @@ class BlockPairFinder:
             finder = dataclasses.replace(
                 finder, max_jlist=sized_k,
                 max_work_items=int(total_work * 1.25) + 16)
+            # occurrence capacity from the observed transpose population
+            # (+50% margin for rebuild-to-rebuild fluctuation; overflow
+            # bit 29 guards the run if it is ever exceeded)
+            ci = np.asarray(jax.device_get(trial.cluster_idx))
+            npc_t = n_pad // CL
+            live_ci = ci[ci < npc_t]
+            max_occ_obs = int(np.bincount(live_ci).max()) if live_ci.size \
+                else 1
+            finder = dataclasses.replace(
+                finder, max_occ=max(8, ((int(max_occ_obs * 1.5) + 4 + 3)
+                                        // 4) * 4))
             # measured-extent hoist upgrade: the density heuristic above is
             # deliberately conservative; with a real configuration in hand,
             # enable the hoisted-MIC fast path whenever every observed block
@@ -515,7 +547,13 @@ class BlockPairFinder:
                 gap = jnp.maximum(jnp.abs(dcs[k]) - (e[None, :] + e[:, None]),
                                   0.0)
                 gap2 = gap2 + gap * gap
-        interacting = gap2 < rc2  # (B, B) — includes self and both orderings
+        # HALF-ORIENTATION: keep only J >= I — each cross-block pair is
+        # evaluated once (the kernel emits j-side partial forces, summed by
+        # the occ_idx transpose map); the self pair J == I carries both
+        # in-tile orderings. Halves the kernel's slot count, the j-gather
+        # volume, AND this rebuild pipeline's candidate stage.
+        iu = jnp.arange(b, dtype=jnp.int32)
+        interacting = (gap2 < rc2) & (iu[None, :] >= iu[:, None])
 
         # compact interacting block pairs to a FLAT list (block-major order):
         # padding the per-row candidate lists to the max row length would
@@ -680,6 +718,26 @@ class BlockPairFinder:
         work_idx = jnp.where(ci2[:, None, :] < npc, wi,
                              n_pad).reshape(p_max * LANES)
 
+        # occurrence transpose map: for each j-cluster, the padded list of
+        # positions in the flattened cluster_idx where it occurs — the
+        # rebuild-static index set that turns the kernel's per-lane j-side
+        # partial forces into per-atom sums with ONE batched gather (scatter
+        # is ~0.4 us/element on TPU; this is ~2.4 cycles/index)
+        K = self.max_occ
+        PC = p_max * CPL
+        occ_pos = jnp.arange(PC, dtype=jnp.int32)
+        sk2, spos = jax.lax.sort_key_val(cluster_idx, occ_pos)
+        bounds = jnp.searchsorted(
+            sk2, jnp.arange(npc + 1, dtype=jnp.int32)).astype(jnp.int32)
+        starts, counts = bounds[:-1], jnp.diff(bounds)
+        kks = jnp.arange(K, dtype=jnp.int32)
+        src_o = jnp.minimum(starts[:, None] + kks[None, :], PC - 1)
+        sp2 = jnp.stack([spos, spos])
+        occ_g = sp2[:, src_o][0]                            # (npc, K)
+        occ_idx = jnp.where(kks[None, :] < counts[:, None], occ_g,
+                            PC).reshape(npc * K)
+        occ_overflow = (jnp.max(counts) > K).astype(jnp.int32)
+
         # static fields pack once per rebuild when available
         j_static = None
         a_stat = None
@@ -690,10 +748,14 @@ class BlockPairFinder:
             ids = jnp.where(is_real, order, n).astype(self.atom_static.dtype)
             stat4 = jnp.concatenate([stat, ids[None, :]])     # (4, n_pad)
             a_stat = stat4.reshape(4, b, BLOCK).transpose(1, 0, 2)
-            stat4 = jnp.concatenate([
-                stat4, jnp.asarray([0.0, 0.0, 0.0, n],
+            # j-side row 4: sorted position (exact in f32 below 2^24), for
+            # the kernel's same-block test (energy weights + j-partial mask)
+            stat5 = jnp.concatenate([
+                stat4, jnp.arange(n_pad, dtype=stat4.dtype)[None, :]])
+            stat5 = jnp.concatenate([
+                stat5, jnp.asarray([0.0, 0.0, 0.0, n, n_pad],
                                    self.atom_static.dtype)[:, None]], axis=1)
-            j_static = stat4[:, work_idx]                     # (4, P*LANES)
+            j_static = stat5[:, work_idx]                     # (5, P*LANES)
 
         # windowed exclusion bitmaps in sorted block layout (rebuild-static):
         # one (4, n_pad) gather — the old (P, BLOCK, LANES) precomputed mask
@@ -706,7 +768,8 @@ class BlockPairFinder:
             sidx = jnp.where(is_real, order, n)  # pad atoms -> zero row N
             a_bits = bits4[:, sidx].reshape(4, b, BLOCK).transpose(1, 0, 2)
 
-        overflow = ((pair_overflow << 20)
+        overflow = ((occ_overflow << 29)
+                    | (jnp.minimum(pair_overflow, 0x1FF) << 20)
                     | (jnp.minimum(j_overflow, 0x3FF) << 10)
                     | jnp.minimum(work_overflow, 0x3FF))
         if self.hoist_mic:
@@ -733,7 +796,7 @@ class BlockPairFinder:
                           n_items=jnp.minimum(total, p_max).reshape(1),
                           n_pairs=total_pairs.reshape(1),
                           work_idx=work_idx, cluster_idx=cluster_idx,
-                          j_static=j_static,
+                          occ_idx=occ_idx, j_static=j_static,
                           centers=centers, a_stat=a_stat, a_bits=a_bits,
                           overflow=overflow,
                           step_built=jnp.asarray(step_n, jnp.int32))
@@ -742,15 +805,16 @@ class BlockPairFinder:
 _register(BlockPairFinder, ["dist_cutoff", "atom_static"],
           ["grid_dims", "sort_dims", "n_pad", "max_pairs", "max_jlist",
            "max_work_items", "n_steps", "hoist_mic", "ref_sides",
-           "resetup_drift", "block", "lanes", "cluster"])
+           "resetup_drift", "block", "lanes", "cluster", "max_occ"])
 
 
 def decode_overflow(ov):
     """Turn the packed overflow word into cause-specific guidance.
 
-    Bit layout (see `find`): bit 30 = hoisted-MIC extent guard; bits 20+ =
-    block-pair overflow; bits 10-19 = per-block j-list overflow; bits 0-9 =
-    work-item overflow. Returns a list of human-readable causes."""
+    Bit layout (see `find`): bit 30 = hoisted-MIC extent guard; bit 29 =
+    j-occurrence window overflow; bits 20-28 = block-pair overflow;
+    bits 10-19 = per-block j-list overflow; bits 0-9 = work-item overflow.
+    Returns a list of human-readable causes."""
     ov = int(ov)
     causes = []
     if ov & (1 << 30):
@@ -758,7 +822,12 @@ def decode_overflow(ov):
             "hoisted-MIC extent guard: a block AABB plus 2*cutoff exceeds a "
             "periodic box side (box shrank or blocks grew); re-setup the "
             "finder for the current box or use hoist_mic=False")
-    pair = (ov >> 20) & 0x3FF
+    if ov & (1 << 29):
+        causes.append(
+            "j-occurrence window overflow: a j-cluster is listed by more "
+            "work items than max_occ — j-side forces would be dropped; "
+            "raise BlockPairFinder.max_occ")
+    pair = (ov >> 20) & 0x1FF
     if pair:
         causes.append(f"block-pair list overflow by >= {pair}; raise "
                       "max_pairs (BlockPairFinder.setup max_nbr_blocks)")

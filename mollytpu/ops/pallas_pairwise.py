@@ -6,10 +6,14 @@ step (the VPU-lane-sized counterpart of the reference's 32x32 warp tiles),
 with the interacting-block list scalar-prefetched so block indices drive the
 input DMA (PrefetchScalarGridSpec), i-block forces accumulated in VMEM across
 the j dimension, exclusions tested branch-free against per-atom id tables,
-and energy/virial reduced into SMEM scalars. Both orderings of every pair are
-evaluated (as in the cell-tile path), so no j-side scatter exists at all —
-the analogue of the reference dropping its shared-memory opposite-force
-accumulation.
+and energy/virial reduced into SMEM scalars. HALF-ORIENTATION lists: each
+cross-block pair is evaluated ONCE (the finder lists only blocks J >= I);
+the kernel emits per-lane j-side partial forces as a second output — the
+TPU analogue of the reference's shared-memory opposite-force accumulation
+(opposites_sum, ext/MollyCUDAExt.jl:1595-2045) — which a rebuild-static
+occurrence-window gather (BlockPairs.occ_idx) reduces to per-atom forces
+with no scatter anywhere. Intra-block pairs (J == I) are evaluated in both
+orderings inside the one self tile and emit no j-partials.
 
 Supported fused interactions (the production biomolecular set): LennardJones
 with No/Distance/ShiftedPotential/ShiftedForce cutoffs (Lorentz sigma /
@@ -633,12 +637,12 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
         (flat_i_ref, row_start_ref, n_items_ref,
          box_ref, cen_ref, ac_ref, as_ref, abits_ref, jc_ref,
          js_ref, alr_ref, jlr_ref,
-         f_ref, eng_ref, vir_ref) = refs
+         f_ref, jf_ref, eng_ref, vir_ref) = refs
     else:
         (flat_i_ref, row_start_ref, n_items_ref,
          box_ref, cen_ref, ac_ref, as_ref, abits_ref, jc_ref,
          js_ref,
-         f_ref, eng_ref, vir_ref) = refs
+         f_ref, jf_ref, eng_ref, vir_ref) = refs
         alr_ref = jlr_ref = None
     p = pl.program_id(0)
     i = flat_i_ref[p]
@@ -651,6 +655,13 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
     @pl.when(p == row_start_ref[i])
     def _():
         f_ref[...] = jnp.zeros_like(f_ref)
+
+    # padding items still flush their (per-item) j-partial window — zero it
+    # (its lanes are never referenced by occ_idx, but uninitialized VMEM
+    # must not reach HBM where NaN-checking modes would trip on it)
+    @pl.when(p >= n_items_ref[0])
+    def _():
+        jf_ref[...] = jnp.zeros_like(jf_ref)
 
     if compute_energy:
         @pl.when(p == 0)
@@ -671,6 +682,7 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
                  + jnp.sum(ac_ref[...]) + jnp.sum(as_ref[...])
                  + jnp.sum(abits_ref[...].astype(dtype)))
             f_ref[...] += s * jnp.asarray(1e-30, dtype)
+            jf_ref[...] = jnp.zeros_like(jf_ref)
         return
 
     @pl.when(p < n_items_ref[0])
@@ -703,7 +715,7 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
             bx = bx - s2 * h21
             by = by - s2 * h22
             bx = bx - jnp.round(bx * ih11) * h11
-        bsig, beps, bq, b_id = js[0], js[1], js[2], js[3]
+        bsig, beps, bq, b_id, b_pos = js[0], js[1], js[2], js[3], js[4]
         a_c = ac_ref[0]                    # (4, BLOCK) x/y/z wrapped
         a_s = as_ref[0]                    # (4, BLOCK) sig/sqrt eps/q/id
 
@@ -751,13 +763,25 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
         special = in_win & (((sw >> sh) & 1) != 0)
         live = live & ~excl
 
+        # half-orientation bookkeeping: lanes whose j-atom sits in THIS
+        # i-block carry both in-tile orderings (energy/virial weight 0.5,
+        # no j-partial); cross-block lanes are single-evaluation (weight
+        # 1.0, j-side partial force emitted). b_pos = sorted position row.
+        nb = a_c.shape[1]                  # BLOCK (static)
+        blk_lo = (i * nb).astype(dtype)
+        same_blk = (b_pos >= blk_lo) & (b_pos < blk_lo + nb)   # (LANES,)
+        wl = jnp.where(same_blk, jnp.asarray(0.5, dtype),
+                       jnp.asarray(1.0, dtype))[None, :]
+        cross = live & ~same_blk[None, :]
+
         if variant == "distance_only":
             # roofline probe: distances + masks + accumulation, force math
             # stripped — the VPU cost of _pair_terms is full - this
             coef = jnp.where(live, r2 * jnp.asarray(1e-12, dtype), 0.0)
-            _accumulate(spec, coef, dx, dy, dz, bx, by, bz, ax, ay, az,
+            _accumulate(spec, coef, jnp.where(cross, coef, 0.0), wl,
+                        dx, dy, dz, bx, by, bz, ax, ay, az,
                         jnp.zeros_like(coef), live, mic, compute_energy,
-                        dtype, f_ref, eng_ref, vir_ref)
+                        dtype, f_ref, jf_ref, eng_ref, vir_ref)
             return
 
         r2s = jnp.where(live, r2, 1.0)
@@ -803,15 +827,19 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
         else:
             e, coef = _pair_terms(spec, r2s, inv_r, r, sig, eps, qq,
                                   special, dtype)
-        _accumulate(spec, coef, dx, dy, dz, bx, by, bz, ax, ay, az,
+        _accumulate(spec, coef, jnp.where(cross, coef, 0.0), wl,
+                    dx, dy, dz, bx, by, bz, ax, ay, az,
                     e, live, mic, compute_energy, dtype,
-                    f_ref, eng_ref, vir_ref)
+                    f_ref, jf_ref, eng_ref, vir_ref)
 
 
-def _accumulate(spec, coef, dx, dy, dz, bx, by, bz, ax, ay, az, e, live,
-                mic, compute_energy, dtype, f_ref, eng_ref, vir_ref):
-    """Reduce per-pair coefs into the i-block force accumulator (+ energy/
-    virial scalars). Shared by the production path and roofline probes."""
+def _accumulate(spec, coef, coefj, wl, dx, dy, dz, bx, by, bz, ax, ay, az,
+                e, live, mic, compute_energy, dtype, f_ref, jf_ref,
+                eng_ref, vir_ref):
+    """Reduce per-pair coefs into the i-block force accumulator, emit the
+    per-lane j-side partial forces (coefj = coef masked to cross-block
+    lanes), and accumulate energy/virial scalars with the half-orientation
+    weights wl. Shared by the production path and roofline probes."""
     coef = jnp.where(live, coef, 0.0)
 
     if mic or os.environ.get("MOLLYTPU_NO_MOMENT"):
@@ -822,6 +850,12 @@ def _accumulate(spec, coef, dx, dy, dz, bx, by, bz, ax, ay, az, e, live,
             jnp.sum(coef * dy, axis=1)[None, :],
             jnp.sum(coef * dz, axis=1)[None, :],
             jnp.zeros((1, coef.shape[0]), dtype)])
+        # j-side: f_j = -sum_i coef (x_j - x_i), per lane
+        jf_ref[...] = jnp.concatenate([
+            -jnp.sum(coefj * dx, axis=0)[None, :],
+            -jnp.sum(coefj * dy, axis=0)[None, :],
+            -jnp.sum(coefj * dz, axis=0)[None, :],
+            jnp.zeros((1, coefj.shape[1]), dtype)])
     else:
         # moment-form accumulation: f_i = sum_j c (xj - xi)
         #                               = (c @ [jx jy jz 1]) - xi*(c @ 1)
@@ -853,16 +887,37 @@ def _accumulate(spec, coef, dx, dy, dz, bx, by, bz, ax, ay, az, e, live,
             (m4[1] - ay * s0)[None, :],
             (m4[2] - az * s0)[None, :],
             jnp.zeros((1, coef.shape[0]), dtype)])
+        # j-side moment form: f_j = -sum_i c (x_j - x_i)
+        #                         = (c^T @ [ix iy iz 1]) - x_j * (c^T @ 1)
+        # — the transposed contraction of the same MXU trick, emitted as
+        # this item's (4, LANES) partial window (summed per atom outside
+        # the kernel via the rebuild-static occ_idx gather)
+        a4 = jnp.concatenate([
+            ax[None, :], ay[None, :], az[None, :],
+            jnp.ones((1, ax.shape[0]), dtype)])
+        mj = jax.lax.dot_general(
+            a4, coefj, (((1,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=dtype)  # (4,LANES) [Scx,Scy,Scz,Sc]
+        sj = mj[3]
+        jf_ref[...] = jnp.concatenate([
+            (mj[0] - bx * sj)[None, :],
+            (mj[1] - by * sj)[None, :],
+            (mj[2] - bz * sj)[None, :],
+            jnp.zeros((1, coefj.shape[1]), dtype)])
     f_ref[...] += upd[None]
     if compute_energy:
-        e = jnp.where(live, e, 0.0)
-        eng_ref[0, 0] += 0.5 * jnp.sum(e)
-        vir_ref[0, 0] += -0.5 * jnp.sum(coef * dx * dx)
-        vir_ref[0, 1] += -0.5 * jnp.sum(coef * dx * dy)
-        vir_ref[0, 2] += -0.5 * jnp.sum(coef * dx * dz)
-        vir_ref[0, 3] += -0.5 * jnp.sum(coef * dy * dy)
-        vir_ref[0, 4] += -0.5 * jnp.sum(coef * dy * dz)
-        vir_ref[0, 5] += -0.5 * jnp.sum(coef * dz * dz)
+        # half-orientation weights: intra-block lanes appear in both
+        # orderings (0.5), cross-block lanes once (1.0)
+        e = jnp.where(live, e, 0.0) * wl
+        cw = coef * wl
+        eng_ref[0, 0] += jnp.sum(e)
+        vir_ref[0, 0] += -jnp.sum(cw * dx * dx)
+        vir_ref[0, 1] += -jnp.sum(cw * dx * dy)
+        vir_ref[0, 2] += -jnp.sum(cw * dx * dz)
+        vir_ref[0, 3] += -jnp.sum(cw * dy * dy)
+        vir_ref[0, 4] += -jnp.sum(cw * dy * dz)
+        vir_ref[0, 5] += -jnp.sum(cw * dz * dz)
 
 
 def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
@@ -977,10 +1032,12 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
             atoms_charge[None, :],
         ]).astype(dtype)
         sorted3s = jnp.where(is_real[None, :], raw3s[:, safe], 0.0)
-        fs4 = jnp.concatenate([sorted3s, ids_sorted[None, :]])
-        fs4 = jnp.concatenate(
-            [fs4, jnp.asarray([0.0, 0.0, 0.0, n], dtype)[:, None]], axis=1)
-        j_static = fs4[:, blockpairs.work_idx]
+        fs5 = jnp.concatenate([sorted3s, ids_sorted[None, :],
+                               jnp.arange(n_pad, dtype=dtype)[None, :]])
+        fs5 = jnp.concatenate(
+            [fs5, jnp.asarray([0.0, 0.0, 0.0, n, n_pad], dtype)[:, None]],
+            axis=1)
+        j_static = fs5[:, blockpairs.work_idx]
     j_static = j_static.astype(dtype)
 
     # per-atom (lambda, role) rows for the soft-core kernel path: built per
@@ -1031,7 +1088,7 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         pl.BlockSpec((1, 4, BLOCK),
                      lambda p, fi, rs, ni: (fi[p], 0, 0)),
         pl.BlockSpec((3, LANES), lambda p, fi, rs, ni: (0, p)),
-        pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
+        pl.BlockSpec((5, LANES), lambda p, fi, rs, ni: (0, p)),
     ]
     inputs = [box, cen4, a_coords, a_stat, a_bits, j_coords, j_static]
     use_lam = spec.needs_lam
@@ -1047,6 +1104,7 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 4, BLOCK), lambda p, fi, rs, ni: (fi[p], 0, 0)),
+            pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
             pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
@@ -1066,11 +1124,12 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                      not hoist_mic, use_lam,
                      variant if variant in ("gather_only", "distance_only")
                      else "")
-    f4, eng, vir6 = pl.pallas_call(
+    f4, jf, eng, vir6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, 4, BLOCK), dtype),
+            jax.ShapeDtypeStruct((4, p_max * LANES), dtype),
             jax.ShapeDtypeStruct((1, 8), dtype),
             jax.ShapeDtypeStruct((1, 8), dtype),
         ],
@@ -1078,10 +1137,24 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
     )(blockpairs.flat_i, blockpairs.row_start, blockpairs.n_items,
       *inputs)
 
+    # j-side partial forces -> per-atom sums: re-interleave the work-layout
+    # partials to the cluster layout, then ONE rebuild-static batched gather
+    # over the occurrence windows (occ_idx) + a K-axis sum. Sentinel
+    # occurrences hit the appended zero column; no scatter anywhere.
+    CPL_ = LANES // CL
+    npc = n_pad // CL
+    K = blockpairs.occ_idx.shape[0] // npc
+    jfc = (jf.reshape(4, p_max, CL, CPL_).transpose(0, 2, 1, 3)
+           .reshape(4 * CL, p_max * CPL_))
+    jfc = jnp.concatenate([jfc, jnp.zeros((4 * CL, 1), dtype)], axis=1)
+    occ = jfc[:, blockpairs.occ_idx]                        # (4*CL, npc*K)
+    jsum = jnp.sum(occ.reshape(4, CL, npc, K), axis=3)      # (4, CL, npc)
+    jf_sorted = jsum.transpose(0, 2, 1).reshape(4, n_pad)
+
     # unsort forces to the original atom order by inverse-permutation GATHER
     # (a scatter here costs ~0.4us per element on TPU)
-    f4u = (f4.transpose(1, 0, 2).reshape(4, n_pad)
-           [:, blockpairs.inv_order[:n]])                   # (4, N)
+    f4s = f4.transpose(1, 0, 2).reshape(4, n_pad) + jf_sorted
+    f4u = f4s[:, blockpairs.inv_order[:n]]                  # (4, N)
     forces = f4u.T[:, :3]
     energy = eng[0, 0]
     vir = jnp.asarray([[vir6[0, 0], vir6[0, 1], vir6[0, 2]],
