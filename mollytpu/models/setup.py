@@ -245,21 +245,24 @@ def _improper_ordering(ff, rule, perm, c, j, k, l, struct, type_of):
     return (j, k, c, l)
 
 
-BUILD_CACHE_VERSION = 5   # bumped: cluster-granular j-lists (BlockPairs.cluster_idx)
+BUILD_CACHE_VERSION = 6   # bumped: padding-item sentinel clusters + max_occ sizing
 
 
 def _models_code_fingerprint():
-    """Hash of the models/ sources: a cached build is invalidated whenever
-    the setup pipeline's code changes (stale pickles of evolving dataclasses
-    are caught by the load-time try/except anyway; this avoids even trying)."""
+    """Hash of the models/ AND ops/ sources: a cached build is invalidated
+    whenever the setup pipeline's code changes — ops/ matters too because
+    the pickles embed finder/neighbor dataclasses (BlockPairFinder et al.)
+    whose field sets evolve (stale pickles of evolving dataclasses are
+    caught by the load-time try/except anyway; this avoids even trying)."""
     import hashlib
     import os as _os
     h = hashlib.sha256()
-    d = _os.path.dirname(__file__)
-    for f in sorted(_os.listdir(d)):
-        if f.endswith(".py"):
-            with open(_os.path.join(d, f), "rb") as fh:
-                h.update(fh.read())
+    base = _os.path.dirname(__file__)
+    for d in (base, _os.path.join(_os.path.dirname(base), "ops")):
+        for f in sorted(_os.listdir(d)):
+            if f.endswith(".py"):
+                with open(_os.path.join(d, f), "rb") as fh:
+                    h.update(fh.read())
     return h.hexdigest()
 
 

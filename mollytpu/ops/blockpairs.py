@@ -706,7 +706,12 @@ class BlockPairFinder:
         src = jnp.minimum(kstart[flat_i][:, None] + offs, tbc - 1)
         sv2 = jnp.stack([svals, svals])
         gathered = sv2[:, src][0]
-        valid = offs < jcount[flat_i][:, None]
+        # padding items (p >= total) alias the last live block's chunk 0, so
+        # the offs < jcount test alone would hand them REAL cluster ids —
+        # inflating the occ transpose (max_occ, hence the per-step npc*K
+        # j-partial gather) and duplicating j-coordinate gathers. Sentinel
+        # them out with live_it.
+        valid = (offs < jcount[flat_i][:, None]) & live_it[:, None]
         ci2 = jnp.where(valid, gathered, npc)               # (P, CPL)
         cluster_idx = ci2.reshape(p_max * CPL)
         # derived per-atom positions, member-strided: lane l of item p holds

@@ -656,9 +656,11 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
     def _():
         f_ref[...] = jnp.zeros_like(f_ref)
 
-    # padding items still flush their (per-item) j-partial window — zero it
-    # (its lanes are never referenced by occ_idx, but uninitialized VMEM
-    # must not reach HBM where NaN-checking modes would trip on it)
+    # padding items still flush their (per-item) j-partial window — zero it.
+    # REQUIRED for correctness, not just NaN hygiene: the finder sentinels
+    # padding items' clusters (blockpairs.py find()), so occ_idx never lists
+    # these lanes — but only because of that invariant; and uninitialized
+    # VMEM must never reach HBM regardless (NaN-checking modes trip on it)
     @pl.when(p >= n_items_ref[0])
     def _():
         jf_ref[...] = jnp.zeros_like(jf_ref)
@@ -696,7 +698,7 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
         cy = cen_ref[0, 0, 1]
         cz = cen_ref[0, 0, 2]
         jc = jc_ref[...]                   # (3, LANES) x/y/z wrapped
-        js = js_ref[...]                   # (4, LANES) sig/sqrt eps/q/id
+        js = js_ref[...]                   # (5, LANES) sig/sqrt eps/q/id/pos
         bx, by, bz = jc[0] - cx, jc[1] - cy, jc[2] - cz
         if not mic:
             # per-entry minimum image against the i-block center (valid when
