@@ -456,15 +456,14 @@ def system_from_gromacs(gro_path, top_path, nonbonded_method="cutoff",
     if nonbonded_method == "pme":
         general.append(PME.setup(boundary, dist_cutoff=rc,
                                  error_tol=pme_error_tol, dtype=dtype))
-        # exclusion corrections ride the fused bonded engine (see
-        # ewald_exclusion_list docstring)
+        # exclusion corrections: windowed dense sweep (see
+        # EwaldExclusionCorrection docstring)
         all_excl = excl_pairs + spec_pairs
         if all_excl:
-            from ..ops.ewald import (ewald_exclusion_list, ewald_error_alpha,
-                                     COULOMB_CONST)
-            specific_lists.append(ewald_exclusion_list(
-                all_excl, charge, ewald_error_alpha(rc, pme_error_tol),
-                COULOMB_CONST, dtype=dtype))
+            from ..ops.ewald import (EwaldExclusionCorrection,
+                                     ewald_error_alpha)
+            general.append(EwaldExclusionCorrection.setup(
+                n, all_excl, ewald_error_alpha(rc, pme_error_tol)))
     if dispersion_correction and nonbonded_method in ("cutoff", "pme"):
         general.append(make_dispersion_correction(sigma, epsilon, rc, dtype))
 

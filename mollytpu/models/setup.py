@@ -676,18 +676,17 @@ def _system_from_pdb_impl(path, ff, nonbonded_method="cutoff", dist_cutoff=1.0,
             # dims so golden forces match at 1e-7; the fast path rounds up
             # to FFT-smooth sizes
             smooth_dims=approximate_pme))
-        # reciprocal-sum exclusion corrections ride the fused bonded engine
-        # (one gather+scatter with all other specific terms) instead of a
-        # standalone scatter inside PME — reference parity: EwaldExclusion
-        # is a 2-atom bonded interaction there too (ewald.jl:978-1008)
+        # reciprocal-sum exclusion corrections: windowed dense general
+        # interaction (no scatter, no pair gather — see
+        # EwaldExclusionCorrection; the reference's EwaldExclusion 2-atom
+        # bonded form, ewald.jl:978-1008, costs 0.55 ms/step of scatter
+        # rows in the fused bonded engine at 6mrr scale vs ~0.1 ms windowed)
         all_excl = excl_pairs + spec_pairs
         if all_excl:
-            from ..ops.ewald import (ewald_exclusion_list, ewald_error_alpha,
-                                     COULOMB_CONST)
-            specific_lists.append(ewald_exclusion_list(
-                all_excl, charge_of,
-                ewald_error_alpha(rc, pme_error_tol), COULOMB_CONST,
-                dtype=dtype))
+            from ..ops.ewald import (EwaldExclusionCorrection,
+                                     ewald_error_alpha)
+            general.append(EwaldExclusionCorrection.setup(
+                n, all_excl, ewald_error_alpha(rc, pme_error_tol)))
     elif nonbonded_method == "none":
         from ..ops.cutoffs import NoCutoff
         from ..ops.pairwise import Coulomb

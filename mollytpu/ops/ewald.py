@@ -193,6 +193,106 @@ def _exclusion_force_virial(q, coords, boundary, alpha, ke, excl_i, excl_j, n,
     return forces, vir
 
 
+@dataclasses.dataclass(frozen=True)
+class EwaldExclusionCorrection(GeneralInteraction):
+    """Reciprocal-space exclusion corrections U = -ke qi qj erf(alpha r)/r
+    for pairs excluded from an Ewald/PME sum, evaluated as a WINDOWED DENSE
+    (N, 64) sweep — the TPU-native successor to both the in-PME sparse
+    scatter (0.44 ms/step at 6mrr scale) and the fused-bonded-list form
+    (0.55 ms marginal: +42k scatter rows at ~13 ns/row).
+
+    Exclusion topology is id-local: every standard excluded/1-4 pair has
+    |i - j| <= 31 (the same fact the Pallas kernel's windowed bitmaps
+    exploit). So the correction needs no pair list at all: partner slot d of
+    atom i is atom i + d - 32, reached by 64 static jnp.roll slices of the
+    coordinate/charge rows — no scatter, no per-index gather (the TPU
+    batched gather is ~2.4 cycles per index; 2 x 21k pair indices would
+    cost more than the whole windowed sweep). Both orderings of each pair
+    are evaluated (energy x0.5), so i-side accumulation covers j too.
+    Rare |i - j| > 31 pairs ride a sparse remainder list (empty in standard
+    topologies; compiles to nothing when static-empty).
+
+    Reference models this as a 2-atom bonded interaction (EwaldExclusion,
+    /root/reference/src/interactions/ewald.jl:978-1008); charges are read
+    live from atoms.charge (fixed-charge force-field builders only)."""
+
+    bits: jax.Array            # (N+1, 2) int32 union (excl | spec) bitmaps:
+                               # bit (d % 32) of word (d // 32) marks partner
+                               # id i + d - 32, 0 <= d < 64 (kernel layout)
+    far: jax.Array             # (F, 2) int32 pairs with |i - j| > 31
+    alpha: float = 0.0
+    coulomb_const: float = COULOMB_CONST
+
+    @classmethod
+    def setup(cls, n_atoms, pairs, alpha, ke=COULOMB_CONST):
+        from ..system import _bitmap_tables
+        arr = np.asarray(pairs, dtype=np.int32).reshape(-1, 2)
+        bits, far = _bitmap_tables(n_atoms, arr[:, 0], arr[:, 1])
+        return cls(bits=jnp.asarray(bits), far=jnp.asarray(far),
+                   alpha=float(alpha), coulomb_const=float(ke))
+
+    def _windowed(self, coords, boundary, q, needs_forces, needs_virial):
+        n, d_sp = coords.shape
+        dtype = coords.dtype
+        alpha = jnp.asarray(self.alpha, dtype)
+        ke = jnp.asarray(self.coulomb_const, dtype)
+        bits = self.bits[:n]                                  # (N, 2)
+        # partner rows by static roll: slot d -> atom (i + d - 32) mod N
+        # (wrap hits carry no bit, so they mask out)
+        cj = jnp.stack([jnp.roll(coords, 32 - d, axis=0)
+                        for d in range(64)])                  # (64, N, D)
+        qj = jnp.stack([jnp.roll(q, 32 - d) for d in range(64)])
+        dvec = jnp.arange(64, dtype=jnp.int32)
+        word = jnp.where((dvec < 32)[:, None], bits[:, 0][None, :],
+                         bits[:, 1][None, :])                 # (64, N)
+        mask = ((word >> (dvec & 31)[:, None]) & 1) != 0
+        dr = boundary.displacement(coords[None], cj)          # xj - xi, MIC
+        r2 = jnp.sum(dr * dr, axis=-1)
+        r = jnp.sqrt(r2 + 1e-24)
+        qq = jnp.where(mask, q[None, :] * qj, 0.0)
+        erf_ar = jax.scipy.special.erf(alpha * r)
+        e = -0.5 * ke * jnp.sum(qq * erf_ar / r)
+        if not needs_forces:
+            return e, None, None
+        # dU/dr = -ke qq (2a/sqrt(pi) exp(-(ar)^2)/r - erf(ar)/r^2)
+        # r2 is exactly 0 on the self slot (d = 32, masked out) — guard the
+        # denominator: 0 * nan would poison the masked product
+        dudr = -ke * qq * (2.0 * alpha / math.sqrt(math.pi)
+                           * jnp.exp(-(alpha * r) ** 2) / r
+                           - erf_ar / jnp.maximum(r2, 1e-24))
+        coef = dudr / r                                       # (64, N)
+        forces = jnp.sum(coef[:, :, None] * dr, axis=0)       # f_i, both
+        vir = None                                            # orderings
+        if needs_virial:
+            vir = -0.5 * jnp.einsum("dn,dna,dnb->ab", coef, dr, dr)
+        return e, forces.astype(dtype), vir
+
+    def energy(self, coords, boundary, atoms):
+        q = _effective_charges(atoms, None)
+        e, _, _ = self._windowed(coords, boundary, q, False, False)
+        e = e + _exclusion_energy(q, coords, boundary, self.alpha,
+                                  self.coulomb_const,
+                                  self.far[:, 0], self.far[:, 1])
+        return e
+
+    def force_virial(self, coords, boundary, atoms, needs_virial=False):
+        n, d = coords.shape
+        dtype = coords.dtype
+        q = _effective_charges(atoms, None)
+        _, forces, vir = self._windowed(coords, boundary, q, True,
+                                        needs_virial)
+        if vir is None:
+            vir = jnp.zeros((d, d), dtype=dtype)
+        f_far, v_far = _exclusion_force_virial(
+            q, coords, boundary, self.alpha, self.coulomb_const,
+            self.far[:, 0], self.far[:, 1], n, needs_virial)
+        return forces + f_far, vir + v_far
+
+
+_register(EwaldExclusionCorrection, ["bits", "far", "alpha",
+                                     "coulomb_const"])
+
+
 def ewald_exclusion_list(excl_pairs, charges, alpha, ke, dtype=jnp.float32):
     """SpecificList of -ke qi qj erf(alpha r)/r correction terms for pairs
     excluded from an Ewald/PME reciprocal sum — the reference's

@@ -152,6 +152,39 @@ def test_ewald_exclusion_list_matches_in_pme_correction():
                        atol=1e-10)
 
 
+def test_windowed_exclusion_correction_matches_sparse_list():
+    """EwaldExclusionCorrection (the builders' windowed dense form) must
+    reproduce the sparse ewald_exclusion_list exactly — energy, forces,
+    virial — including a far (|i - j| > 31) pair on the remainder path."""
+    from mollytpu.ops.ewald import (EwaldExclusionCorrection,
+                                    ewald_exclusion_list)
+    from mollytpu.ops.bonded import specific_energy, specific_forces
+
+    coords, boundary, atoms = random_charges(n=40, box=2.0, seed=6)
+    pairs = [(0, 1), (0, 2), (2, 3), (4, 7), (10, 41 % 40), (5, 36),
+             (1, 39)]  # (1, 39): |d| = 38 > 31 -> far remainder path
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs if a != b]
+    pairs = sorted(set(pairs))
+    alpha = 3.12
+    corr = EwaldExclusionCorrection.setup(40, pairs, alpha, COULOMB_CONST)
+    assert corr.far.shape[0] == 1  # (1, 39) fell outside the window
+    sl = ewald_exclusion_list(pairs, np.asarray(atoms.charge), alpha,
+                              COULOMB_CONST, dtype=jnp.float64)
+
+    e_w = float(corr.energy(coords, boundary, atoms))
+    e_s = float(specific_energy(sl, coords, boundary))
+    assert e_w == pytest.approx(e_s, rel=1e-12, abs=1e-12)
+
+    f_w, v_w = corr.force_virial(coords, boundary, atoms, needs_virial=True)
+    f_s, v_s = specific_forces(sl, coords, boundary, needs_virial=True)
+    assert np.allclose(np.asarray(f_w), np.asarray(f_s), atol=1e-10)
+    assert np.allclose(np.asarray(v_w), np.asarray(v_s), atol=1e-10)
+
+    # autodiff consistency: forces are -grad(E)
+    g = jax.grad(lambda cc: corr.energy(cc, boundary, atoms))(coords)
+    assert np.allclose(np.asarray(f_w), -np.asarray(g), atol=1e-10)
+
+
 def test_pme_virial_matches_strain_derivative():
     coords, boundary, atoms = random_charges(n=10, box=2.0, seed=4)
     pme = PME.setup(boundary, dist_cutoff=0.9, error_tol=1e-5, dtype=jnp.float64)
