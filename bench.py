@@ -21,16 +21,17 @@ import json
 import os
 import time
 
-# autotuned for this workload (tools/sweep.py); must be set before
-# mollytpu imports
-os.environ.setdefault("MOLLYTPU_LANES", "512")
-
 import jax
 import jax.numpy as jnp
 
 DATA = "/root/reference/data"
-SKIN = float(os.environ.get("MOLLYTPU_BENCH_SKIN", "0.15"))
-CADENCE = int(os.environ.get("MOLLYTPU_BENCH_CADENCE", "20"))
+# anchor schedule (validated by the production golden gates); the runtime
+# autotuner refines (block, lanes, skin, cadence) from here by default.
+# Env vars are EXPLICIT overrides that pin their value out of the sweep.
+_SKIN_ENV = os.environ.get("MOLLYTPU_BENCH_SKIN")
+_CADENCE_ENV = os.environ.get("MOLLYTPU_BENCH_CADENCE")
+SKIN = float(_SKIN_ENV) if _SKIN_ENV else 0.15
+CADENCE = int(_CADENCE_ENV) if _CADENCE_ENV else 20
 DT_PS = 0.002
 
 
@@ -68,6 +69,7 @@ def _tiny_waterbox_pdb():
 
 
 def build(dtype=jnp.float32):
+    global SKIN, CADENCE
     import mollytpu as mt
     from mollytpu.models.forcefield import ForceField
     from mollytpu.models.setup import system_from_pdb
@@ -84,15 +86,29 @@ def build(dtype=jnp.float32):
                           nonbonded_method="pme", dtype=dtype,
                           constraints="hbonds", rigid_water=True,
                           dist_neighbors=1.0 + SKIN)
-    if os.environ.get("MOLLYTPU_AUTOTUNE", "0") == "1":
-        # full runtime launch-config sweep (cached on disk after first run;
-        # ~10 min of compiles at this scale, so opt-in — the defaults above
-        # are the sweep's winners for this workload on v5e)
-        from mollytpu.ops.autotune import tuned_block_pairs
-        finder = tuned_block_pairs(
-            sys.boundary, 1.0 + SKIN, sys.n_atoms, coords=sys.coords,
+    tiny = os.environ.get("MOLLYTPU_BENCH_TINY", "0") == "1"
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if os.environ.get("MOLLYTPU_AUTOTUNE", "1") != "0" and on_tpu \
+            and not tiny:
+        # default-on joint launch-config autotune: (block, lanes) by greedy
+        # hill-climb, then the (skin, cadence) schedule — cached on disk, so
+        # only the first run on a (machine, workload) pair pays the sweep
+        # (reference precedent: autotune at setup, MollyCUDAExt.jl:566-639)
+        from mollytpu.ops.autotune import tune_launch
+        cfg = tune_launch(
+            sys.boundary, 1.0, sys.n_atoms, coords=sys.coords,
             atoms=sys.atoms, exclusions=sys.exclusions,
-            inters=sys.pairwise_inters, n_steps=CADENCE)
+            inters=sys.pairwise_inters, cadence=CADENCE, skin=SKIN,
+            skins=() if _SKIN_ENV else (0.10, 0.20, 0.30),
+            verbose=os.environ.get("MOLLYTPU_AUTOTUNE_VERBOSE", "0") == "1")
+        if not _SKIN_ENV:
+            SKIN = cfg["skin"]
+        if not _CADENCE_ENV:
+            CADENCE = cfg["cadence"]
+        finder = BlockPairFinder.setup(
+            sys.boundary, 1.0 + SKIN, sys.n_atoms, n_steps=CADENCE,
+            coords=sys.coords, atoms=sys.atoms,
+            block=cfg["block"], lanes=cfg["lanes"])
     else:
         finder = BlockPairFinder.setup(
             sys.boundary, 1.0 + SKIN, sys.n_atoms, n_steps=CADENCE,

@@ -202,6 +202,126 @@ def tune_tile_shape(boundary, dist_cutoff, n_atoms, coords, atoms,
     return best
 
 
+def _neighbor_shapes(blk, lanes):
+    """Hill-climb moves on the (block, lanes) lattice (powers of two,
+    sublane/lane-dim hardware bounds)."""
+    out = []
+    for b2, l2 in ((blk * 2, lanes), (blk // 2, lanes),
+                   (blk, lanes * 2), (blk, lanes // 2)):
+        if 32 <= b2 <= 256 and 128 <= l2 <= 2048:
+            out.append((b2, l2))
+    return out
+
+
+def tune_launch(boundary, rc_pair, n_atoms, coords, atoms=None,
+                exclusions=None, inters=(), cadence=20, skin=0.15,
+                skins=(0.10, 0.20, 0.30), budget_s=None, verbose=False):
+    """Joint launch-config autotune: (block, lanes) tile shape by greedy
+    hill-climb from the heuristic default, then the neighbor skin (with the
+    rebuild cadence scaled by the random-walk safety rule) with the winning
+    shape. Returns dict(block, lanes, skin, cadence).
+
+    Scoring: amortized ms/step = t_force(skin) + t_find(skin) / cadence(skin)
+    on the live device (queued timing). cadence(s) = cadence_anchor *
+    (s / skin_anchor)^2 — between rebuilds an atom's displacement grows as a
+    random walk (~sigma * sqrt(n)), so the safe step count scales with the
+    square of the half-skin; the anchor pair is the validated production
+    config. Hill-climb typically visits 5-9 candidates instead of the full
+    11-shape sweep; a time budget (MOLLYTPU_AUTOTUNE_BUDGET seconds,
+    default 600) stops expansion early and keeps the best seen. Results
+    cache on disk like tune_tile_shape (reference precedent: default-on
+    autotune at setup, ext/MollyCUDAExt.jl:566-639, setup.jl:532)."""
+    from .pallas_pairwise import build_fused_spec
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("MOLLYTPU_AUTOTUNE_BUDGET", "600"))
+    key = "joint|" + cache_key(n_atoms, boundary, rc_pair, inters,
+                               coords.dtype, cadence)
+    if key in _MEM_CACHE:
+        return _MEM_CACHE[key]
+    disk = _load_disk_cache().get(key)
+    if disk is not None:
+        _MEM_CACHE[key] = disk
+        return disk
+
+    nl = tuple(i for i in inters if getattr(i, "use_neighbors", False))
+    spec = build_fused_spec(nl or inters)
+    fallback = {"block": _DEFAULT_BLOCK, "lanes": _DEFAULT_LANES,
+                "skin": float(skin), "cadence": int(cadence)}
+    if spec is None:
+        return fallback
+
+    t0 = time.time()
+    scores = {}
+
+    def cadence_of(s):
+        return max(1, int(round(cadence * (s / skin) ** 2)))
+
+    def measure(blk, lanes, s):
+        k = (blk, lanes, round(s, 4))
+        if k in scores:
+            return scores[k]
+        try:
+            finder = BlockPairFinder.setup(
+                boundary, rc_pair + s, n_atoms, n_steps=cadence_of(s),
+                coords=coords, atoms=atoms, block=blk, lanes=lanes)
+            ms = _time_candidate(finder, coords, boundary, atoms,
+                                 exclusions, spec, cadence_of(s), reps=3)
+        except Exception:
+            ms = None
+        scores[k] = ms
+        if verbose:
+            print(f"autotune: block={blk} lanes={lanes} skin={s:.2f} "
+                  f"cadence={cadence_of(s)} -> "
+                  f"{'fail' if ms is None else f'{ms:.3f} ms/step'}",
+                  flush=True)
+        return ms
+
+    # stage 1: hill-climb the tile shape at the anchor skin
+    cur = (_DEFAULT_BLOCK, _DEFAULT_LANES)
+    cur_ms = measure(*cur, skin)
+    if cur_ms is None:
+        return fallback
+    improved = True
+    while improved and time.time() - t0 < budget_s:
+        improved = False
+        for cand in _neighbor_shapes(*cur):
+            if (cand[0], cand[1], round(skin, 4)) in scores:
+                continue
+            ms = measure(*cand, skin)
+            if ms is not None and ms < cur_ms:
+                cur, cur_ms = cand, ms
+                improved = True
+                break  # greedy: re-expand from the new optimum
+            if time.time() - t0 >= budget_s:
+                break
+
+    # stage 2: skin sweep with the winning shape
+    best_skin, best_ms = float(skin), cur_ms
+    for s in skins:
+        if abs(s - skin) < 1e-9 or time.time() - t0 >= budget_s:
+            continue
+        ms = measure(*cur, s)
+        if ms is not None and ms < best_ms:
+            best_skin, best_ms = float(s), ms
+
+    result = {"block": int(cur[0]), "lanes": int(cur[1]),
+              "skin": best_skin, "cadence": cadence_of(best_skin),
+              "ms_per_step": float(best_ms)}
+    _MEM_CACHE[key] = result
+    data = _load_disk_cache()
+    data[key] = result
+    try:
+        os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+        tmp = _CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, _CACHE_PATH)
+    except OSError:
+        pass
+    return result
+
+
 def tuned_block_pairs(boundary, dist_cutoff, n_atoms, coords, atoms=None,
                       exclusions=None, inters=(), n_steps=1, **setup_kwargs):
     """Build a `BlockPairFinder` with the autotuned tile shape for this

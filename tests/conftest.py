@@ -54,3 +54,15 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "tpu" in item.keywords:
             item.add_marker(skip)
+    # a plain `pytest tests/` is the FAST tier: the heavy tiers only run
+    # when explicitly selected with -m (e.g. -m protein, -m slow, -m
+    # "not tpu" for the full suite)
+    if config.option.markexpr:
+        return
+    for tier in ("protein", "conservation", "slow"):
+        skip_t = pytest.mark.skip(
+            reason=f"{tier} tier: opt in with -m {tier} "
+                   f"(or -m 'not tpu' for the full CPU suite)")
+        for item in items:
+            if tier in item.keywords:
+                item.add_marker(skip_t)

@@ -38,7 +38,11 @@ def _lj_coul_system(n=500, box=3.0, dtype=jnp.float32):
     return sys_dense, mk(True)
 
 
-@pytest.mark.parametrize("blk,lanes", [(64, 128), (32, 256), (256, 256)])
+@pytest.mark.parametrize("blk,lanes", [
+    pytest.param(64, 128, marks=pytest.mark.slow),
+    (32, 256),
+    pytest.param(256, 256, marks=pytest.mark.slow),
+])
 def test_non_default_tile_shapes_match_dense(blk, lanes):
     """The fused kernel at non-default per-finder (block, lanes) matches
     the dense O(N^2) reference path. (n kept small: interpret-mode Pallas
@@ -64,6 +68,7 @@ def test_non_default_tile_shapes_match_dense(blk, lanes):
     assert e == pytest.approx(e_ref, rel=2e-5)
 
 
+@pytest.mark.slow
 def test_resetup_preserves_tile_shape():
     """resetup() (the NPT box-drift rebuild) keeps the per-finder launch
     config."""

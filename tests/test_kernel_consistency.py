@@ -100,6 +100,7 @@ def test_f64_well_posed_lattice():
              rtol_e=1e-9, atol_f=1e-9)
 
 
+@pytest.mark.slow
 def test_heavy_exclusions_and_specials():
     """Chain topology: i-(i+1), i-(i+2) excluded, i-(i+3) special 1-4 —
     wide exclusion tables exercise every mask slot."""
@@ -191,6 +192,7 @@ def test_open_boundaries_block_pairs():
              rtol_e=1e-9, atol_f=1e-9)
 
 
+@pytest.mark.slow
 def test_ewald_real_space_fused_consistency():
     """LJ + Ewald real-space through the fused kernel path (f32, the
     production combination) matches dense at f32 tolerances."""
@@ -255,7 +257,8 @@ def _triclinic_sys(n, dtype, hoistable, L=2.6, rc=0.9):
     return sys, mk, boundary
 
 
-@pytest.mark.parametrize("hoistable", [True, False])
+@pytest.mark.parametrize("hoistable", [
+    pytest.param(True, marks=pytest.mark.slow), False])
 def test_triclinic_block_pairs_match_dense(hoistable):
     """Triclinic production path (VERDICT r1 missing item 4): the block-pair
     finder + Pallas fused kernel (reduced-cell back-substitution MIC) agree

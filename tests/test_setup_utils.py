@@ -34,7 +34,8 @@ def test_add_position_restraints():
     e1 = mt.potential_energy(rest)
     assert abs(float(e1 - e0)) < 1e-8
     # ...and quadratic when displaced
-    moved = rest.update(coords=coords.at[0].add(jnp.asarray([0.1, 0, 0])))
+    moved = rest.update(coords=coords.at[0].add(
+        jnp.asarray([0.1, 0, 0], coords.dtype)))
     base = sys.update(coords=moved.coords)
     de = float(mt.potential_energy(moved) - mt.potential_energy(base))
     assert abs(de - 0.5 * 1000.0 * 0.01) < 1e-4

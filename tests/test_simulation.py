@@ -261,6 +261,7 @@ def test_celltile_simulation():
     assert abs(e1 - e0) / sys.n_atoms < 2e-3
 
 
+@pytest.mark.slow
 def test_pallas_block_kernel_matches_dense():
     """The fused Pallas block-pair kernel (interpreter mode on CPU) agrees
     with the dense path for LJ + reaction field with exclusions/specials."""

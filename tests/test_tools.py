@@ -14,8 +14,11 @@ TOOLS_DIR = os.path.join(os.path.dirname(__file__), "..", "tools")
 REPO_DIR = os.path.join(os.path.dirname(__file__), "..")
 
 # tools whose main() runs a measurement on bench.build(); sweep.py drives
-# subprocess bench runs (import-only below) and qtime.py is a library
-RUNNABLE = ["step_decompose", "pme_decompose", "pair_roofline",
+# subprocess bench runs (import-only below) and qtime.py is a library.
+# The two heaviest (many interpret-mode kernel variants) sit in -m slow.
+RUNNABLE = [pytest.param("step_decompose", marks=pytest.mark.slow),
+            "pme_decompose",
+            pytest.param("pair_roofline", marks=pytest.mark.slow),
             "constraint_decompose", "rebuild_decompose"]
 
 
