@@ -462,13 +462,30 @@ class PME(GeneralInteraction):
     def _chunk(K, minor):
         return max(1, min(K, 512 // max(1, minor)))
 
+    @staticmethod
+    def _mesh_precision():
+        """MXU precision for the big spread/interp mesh contractions.
+
+        HIGH (3-pass bf16, ~22-bit effective mantissa) by default: the
+        contraction operands are O(1) spline weights times charges with no
+        catastrophic cancellation, so the ~2e-7 relative rounding sits far
+        below the PME discretization error (golden gate: 0.15 kJ/mol on
+        6mrr; on-device -m tpu force gate 0.42 kJ/mol/nm — both green at
+        HIGH, and HIGH halves the MXU passes of HIGHEST). The FRACTIONAL
+        COORDINATE matmul in _dense_tables stays HIGHEST — that one has the
+        measured bf16 corruption hazard (round-3 fidelity-tier bug). Set
+        MOLLYTPU_PME_HIGHEST=1 to force full 6-pass everywhere."""
+        return (jax.lax.Precision.HIGHEST
+                if os.environ.get("MOLLYTPU_PME_HIGHEST")
+                else jax.lax.Precision.HIGH)
+
     def _spread_dense(self, tabs, q, dtype):
         (Ax, _), (By, _), (Cz, _) = tabs
         K1, K2, K3 = self.mesh_dims
         Aq = (Ax * q[:, None]).T                                # (K1, N)
         ch = self._chunk(K3, K2)
         planes = []
-        prec = jax.lax.Precision.HIGHEST
+        prec = self._mesh_precision()
         for z0 in range(0, K3, ch):
             cz = Cz[:, z0:z0 + ch]                              # (N, ch)
             D = (cz[:, :, None] * By[:, None, :]).reshape(
@@ -490,7 +507,7 @@ class PME(GeneralInteraction):
         (Ax, dAx), (By, dBy), (Cz, dCz) = tabs
         K1, K2, K3 = self.mesh_dims
         n = Ax.shape[0]
-        prec = jax.lax.Precision.HIGHEST
+        prec = self._mesh_precision()
         ke = self.coulomb_const / self.epsilon_r
 
         def contract(phi_m, U, V):

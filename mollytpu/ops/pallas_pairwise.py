@@ -633,20 +633,26 @@ def _far_pair_corrections(spec, coords, boundary, atoms, charge, exclusions,
 def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
     # inputs (abits carries the windowed exclusion/special bitmaps; alr/jlr
     # per-atom (lambda, role) rows present only on the alchemical path)
+    # Stream discipline: the grid pipeline pays a per-stream per-step fixed
+    # cost (index-map eval + DMA descriptor issue on the scalar core), so
+    # the per-step coordinate tiles ride CONCATENATED with the rebuild-
+    # static parameter rows — one a-side (1, 8, BLOCK) stream (coords rows
+    # 0-3 + sig/sqrt eps/q/id rows 4-7) and one j-side (8, LANES) stream
+    # (coords rows 0-2 + sig/sqrt eps/q/id/pos rows 3-7) — and the
+    # energy/virial SMEM outputs exist only when compute_energy.
     if use_lam:
         (flat_i_ref, row_start_ref, n_items_ref,
-         box_ref, cen_ref, ac_ref, as_ref, abits_ref, jc_ref,
-         js_ref, alr_ref, jlr_ref,
-         f_ref, jf_ref, eng_ref, vir_ref) = refs
+         box_ref, cen_ref, a8_ref, abits_ref, j8_ref,
+         alr_ref, jlr_ref, f_ref, jf_ref, *erefs) = refs
     else:
         (flat_i_ref, row_start_ref, n_items_ref,
-         box_ref, cen_ref, ac_ref, as_ref, abits_ref, jc_ref,
-         js_ref,
-         f_ref, jf_ref, eng_ref, vir_ref) = refs
+         box_ref, cen_ref, a8_ref, abits_ref, j8_ref,
+         f_ref, jf_ref, *erefs) = refs
         alr_ref = jlr_ref = None
+    eng_ref, vir_ref = erefs if compute_energy else (None, None)
     p = pl.program_id(0)
     i = flat_i_ref[p]
-    dtype = ac_ref.dtype
+    dtype = a8_ref.dtype
 
     # first work item of this i-block initializes its force accumulator
     # (padding items carry flat_i = last live i-block, so output blocks are
@@ -680,11 +686,12 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
         # elimination — isolates DMA + grid overhead from VPU compute
         @pl.when(p < n_items_ref[0])
         def _():
-            s = (jnp.sum(jc_ref[...]) + jnp.sum(js_ref[...])
-                 + jnp.sum(ac_ref[...]) + jnp.sum(as_ref[...])
-                 + jnp.sum(abits_ref[...].astype(dtype)))
-            f_ref[...] += s * jnp.asarray(1e-30, dtype)
-            jf_ref[...] = jnp.zeros_like(jf_ref)
+            # ELEMENTWISE touch only: full-tile jnp.sum reduction trees
+            # cost ~microseconds each on the VPU and would dominate the
+            # probe, mis-attributing VPU time to the DMA bucket. The
+            # untouched streams (a8, abits) are still DMA'd — the Pallas
+            # pipeline copies every BlockSpec window per grid step.
+            jf_ref[...] = j8_ref[0:4] * jnp.asarray(1e-30, dtype)
         return
 
     @pl.when(p < n_items_ref[0])
@@ -697,8 +704,9 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
         cx = cen_ref[0, 0, 0]
         cy = cen_ref[0, 0, 1]
         cz = cen_ref[0, 0, 2]
-        jc = jc_ref[...]                   # (3, LANES) x/y/z wrapped
-        js = js_ref[...]                   # (5, LANES) sig/sqrt eps/q/id/pos
+        j8 = j8_ref[...]                   # rows 0-2 x/y/z wrapped,
+        jc = j8[0:3]                       # rows 3-7 sig/sqrt eps/q/id/pos
+        js = j8[3:8]
         bx, by, bz = jc[0] - cx, jc[1] - cy, jc[2] - cz
         if not mic:
             # per-entry minimum image against the i-block center (valid when
@@ -718,8 +726,9 @@ def _kernel(spec, n_atoms, compute_energy, mic, use_lam, variant, *refs):
             by = by - s2 * h22
             bx = bx - jnp.round(bx * ih11) * h11
         bsig, beps, bq, b_id, b_pos = js[0], js[1], js[2], js[3], js[4]
-        a_c = ac_ref[0]                    # (4, BLOCK) x/y/z wrapped
-        a_s = as_ref[0]                    # (4, BLOCK) sig/sqrt eps/q/id
+        a8 = a8_ref[0]                     # (8, BLOCK)
+        a_c = a8[0:4]                      # x/y/z/0 wrapped
+        a_s = a8[4:8]                      # sig/sqrt eps/q/id
 
         ax, ay, az = a_c[0] - cx, a_c[1] - cy, a_c[2] - cz
         dx = bx[None, :] - ax[:, None]
@@ -1078,21 +1087,25 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         # no exclusions at all: zero bitmaps (nothing excluded/special)
         a_bits = jnp.zeros((b, 4, BLOCK), jnp.int32)
 
+    # concatenate the per-step coordinate tiles with the rebuild-static
+    # parameter rows: fewer BlockSpec streams = less per-grid-step fixed
+    # cost (index-map eval + DMA descriptor issue on the scalar core). The
+    # two concats copy ~5 MB of static rows per step — microseconds — and
+    # XLA dedups them against the gather outputs.
+    a8 = jnp.concatenate([a_coords, a_stat], axis=1)     # (B, 8, BLOCK)
+    j8 = jnp.concatenate([j_coords, j_static], axis=0)   # (8, P*LANES)
     in_specs = [
         pl.BlockSpec((1, 12), lambda p, fi, rs, ni: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 4), lambda p, fi, rs, ni: (fi[p], 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 4, BLOCK),
+        pl.BlockSpec((1, 8, BLOCK),
                      lambda p, fi, rs, ni: (fi[p], 0, 0)),
         pl.BlockSpec((1, 4, BLOCK),
                      lambda p, fi, rs, ni: (fi[p], 0, 0)),
-        pl.BlockSpec((1, 4, BLOCK),
-                     lambda p, fi, rs, ni: (fi[p], 0, 0)),
-        pl.BlockSpec((3, LANES), lambda p, fi, rs, ni: (0, p)),
-        pl.BlockSpec((5, LANES), lambda p, fi, rs, ni: (0, p)),
+        pl.BlockSpec((8, LANES), lambda p, fi, rs, ni: (0, p)),
     ]
-    inputs = [box, cen4, a_coords, a_stat, a_bits, j_coords, j_static]
+    inputs = [box, cen4, a8, a_bits, j8]
     use_lam = spec.needs_lam
     if use_lam:
         in_specs.append(pl.BlockSpec((1, 2, BLOCK),
@@ -1100,18 +1113,30 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
         in_specs.append(pl.BlockSpec((2, LANES),
                                      lambda p, fi, rs, ni: (0, p)))
         inputs.extend([a_lr, j_lr])
+    out_specs = [
+        pl.BlockSpec((1, 4, BLOCK), lambda p, fi, rs, ni: (fi[p], 0, 0)),
+        pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 4, BLOCK), dtype),
+        jax.ShapeDtypeStruct((4, p_max * LANES), dtype),
+    ]
+    if compute_energy:
+        out_specs += [
+            pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, 8), dtype),
+            jax.ShapeDtypeStruct((1, 8), dtype),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(p_max,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 4, BLOCK), lambda p, fi, rs, ni: (fi[p], 0, 0)),
-            pl.BlockSpec((4, LANES), lambda p, fi, rs, ni: (0, p)),
-            pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda p, fi, rs, ni: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        out_specs=out_specs,
     )
     if variant == "preponly":
         # roofline probe: all XLA prep (gathers + layouts) runs, the Pallas
@@ -1126,18 +1151,19 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
                      not hoist_mic, use_lam,
                      variant if variant in ("gather_only", "distance_only")
                      else "")
-    f4, jf, eng, vir6 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 4, BLOCK), dtype),
-            jax.ShapeDtypeStruct((4, p_max * LANES), dtype),
-            jax.ShapeDtypeStruct((1, 8), dtype),
-            jax.ShapeDtypeStruct((1, 8), dtype),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(blockpairs.flat_i, blockpairs.row_start, blockpairs.n_items,
       *inputs)
+    if compute_energy:
+        f4, jf, eng, vir6 = outs
+    else:
+        f4, jf = outs
+        eng = jnp.zeros((1, 8), dtype)
+        vir6 = jnp.zeros((1, 8), dtype)
 
     # j-side partial forces -> per-atom sums: re-interleave the work-layout
     # partials to the cluster layout, then ONE rebuild-static batched gather
