@@ -33,11 +33,22 @@ ENV_FLAGS = {
         "256", "default Pallas j-gather chunk width; per-finder values take "
         "precedence"),
     "MOLLYTPU_AUTOTUNE": (
-        "0/1 by call site", "launch-config autotune sweep gate: bench.py "
-        "sweeps only when =1; ops.autotune.tuned_block_pairs sweeps unless "
-        "=0"),
+        "1", "launch-config autotune gate: bench.py and "
+        "ops.autotune.tuned_block_pairs sweep unless =0 (results disk-"
+        "cached; only the first run on a (machine, workload) pair pays)"),
     "MOLLYTPU_AUTOTUNE_VERBOSE": (
         "0", "print per-candidate timings during the autotune sweep"),
+    "MOLLYTPU_AUTOTUNE_BUDGET": (
+        "600", "wall-clock budget (s) for a cold tune_launch sweep; "
+        "expansion stops early and keeps the best seen"),
+    "MOLLYTPU_PME_HIGHEST": (
+        "0", "force 6-pass (HIGHEST) MXU precision for the PME mesh "
+        "contractions; default is 3-pass HIGH (~22-bit, validated by the "
+        "on-device fidelity tier). The fractional-coordinate matmul is "
+        "always 6-pass"),
+    "MOLLYTPU_BENCH_MTS": (
+        "0", "bench.py reports the BAOAB-RESPA MTS headline (PME recip "
+        "x1/outer 4 fs) instead of the standard Langevin 2 fs metric"),
     "MOLLYTPU_CACHE_DIR": (
         "~/.cache/mollytpu", "on-disk cache root (system builds, autotune "
         "results)"),
@@ -47,9 +58,11 @@ ENV_FLAGS = {
         "0", "disable the MXU moment-form force accumulation in the Pallas "
         "kernel (debug fallback: direct per-pair accumulation)"),
     "MOLLYTPU_BENCH_SKIN": (
-        "0.15", "bench.py neighbor skin (nm)"),
+        "autotuned", "EXPLICIT bench.py neighbor-skin override (nm); unset "
+        "means the joint autotuner picks it (anchor 0.15)"),
     "MOLLYTPU_BENCH_CADENCE": (
-        "20", "bench.py neighbor rebuild cadence (steps)"),
+        "autotuned", "EXPLICIT bench.py rebuild-cadence override (steps); "
+        "unset means the joint autotuner picks it (anchor 20)"),
 }
 
 

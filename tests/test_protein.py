@@ -245,6 +245,44 @@ def test_tip4p_virtual_site_golden():
     assert np.max(np.linalg.norm(f_c - fgc, axis=1)) < 1e-4
 
 
+def test_mts_trajectory_10steps_vs_openmm():
+    """MTS rRESPA 10-step trajectory vs OpenMM MTSIntegrator goldens
+    (reference: test/simulation.jl:1306-1369, data/openmm_tip4pfb;
+    generator test/openmm_mts.py — groups nonbonded x1 / angles x4 /
+    bonds x8 at dt = 1 fs, virtual-site TIP4P-FB water). Adjudicates the
+    multi-level substep schedule, constraint placement inside the inner
+    loop, and virtual-site handling under MTS — single-point force gates
+    cannot."""
+    ff = mt.ForceField(DATA + "/force_fields/tip4pfb.xml")
+    for cons_label, constraints in (("nocons", "none"),
+                                    ("cons", "hbonds")):
+        sys = mt.system_from_pdb(DATA + "/tip4pew.pdb", ff,
+                                 nonbonded_method="cutoff",
+                                 center_coords=False,
+                                 constraints=constraints,
+                                 dtype=jnp.float64)
+        # OpenMM groups: bonds x8, angles x4 (with hbonds constrained the
+        # bond list is empty and its fraction is irrelevant)
+        si_fr = tuple(8 if s.kind == "harmonic_bond" else 4
+                      for s in sys.specific_lists)
+        sim = mt.MTSIntegrator(dt=0.001, pi_fractions=(1, 1),
+                               si_fractions=si_fr,
+                               gi_fractions=(1,) * len(sys.general_inters),
+                               remove_cm=False)
+        final, _ = mt.simulate(sys, sim, 10, key=jax.random.PRNGKey(0))
+        gc = np.loadtxt(
+            DATA + f"/openmm_tip4pfb/coordinates_10steps_{cons_label}.txt")
+        gv = np.loadtxt(
+            DATA + f"/openmm_tip4pfb/velocities_10steps_{cons_label}.txt")
+        # MIC difference: atoms sitting exactly on the box face wrap to 0
+        # on one side and L on the other — a raw difference reads as L
+        cdiff = np.linalg.norm(np.asarray(sys.boundary.displacement(
+            final.coords, jnp.asarray(gc))), axis=1)
+        vdiff = np.linalg.norm(np.asarray(final.velocities) - gv, axis=1)
+        assert cdiff.max() < 1e-3, (cons_label, cdiff.max())
+        assert vdiff.max() < 0.1, (cons_label, vdiff.max())
+
+
 def test_openmm_refs_neighbor_path():
     """openmm_refs protein gate (reference: test/basic.jl:400-462): exact
     PME + the production cell-list neighbor path, mean force diff < 0.15.
