@@ -418,15 +418,18 @@ class BlockPairFinder:
                 finder, max_jlist=sized_k,
                 max_work_items=int(total_work * 1.25) + 16)
             # occurrence capacity from the observed transpose population
-            # (+50% margin for rebuild-to-rebuild fluctuation; overflow
-            # bit 29 guards the run if it is ever exceeded)
+            # (+25% margin for rebuild-to-rebuild fluctuation — the max
+            # occurrence count is a block-neighborhood property that moves
+            # by ones between rebuilds; overflow bit 29 guards the run
+            # LOUDLY if it is ever exceeded, and the per-step occ gather
+            # cost scales linearly with this capacity)
             ci = np.asarray(jax.device_get(trial.cluster_idx))
             npc_t = n_pad // CL
             live_ci = ci[ci < npc_t]
             max_occ_obs = int(np.bincount(live_ci).max()) if live_ci.size \
                 else 1
             finder = dataclasses.replace(
-                finder, max_occ=max(8, ((int(max_occ_obs * 1.5) + 4 + 3)
+                finder, max_occ=max(8, ((int(max_occ_obs * 1.25) + 4 + 3)
                                         // 4) * 4))
             # measured-extent hoist upgrade: the density heuristic above is
             # deliberately conservative; with a real configuration in hand,

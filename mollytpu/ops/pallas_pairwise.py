@@ -483,7 +483,9 @@ def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
                 dudr_rc = -24.0 * eps * (2.0 * twelvec - sixc) / rc
                 e_lj = e_lj - (r - rc) * dudr_rc
                 coef_lj = coef_lj - dudr_rc * inv_r
-        if spec.lj_mode != 4:
+        if spec.lj_mode != 4 and spec.lj_rc < spec.cut_max:
+            # redundant when lj_rc == cut_max: every caller masks the
+            # result by a live/inside test at cut_max already
             inside = r2 < spec.lj_rc * spec.lj_rc
             e_lj = jnp.where(inside, e_lj, 0.0)
             coef_lj = jnp.where(inside, coef_lj, 0.0)
@@ -500,7 +502,7 @@ def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
             coef_c = coef_plain
             w = jnp.where(special, jnp.asarray(spec.coul_w, dtype), one)
             e_c, coef_c = e_c * w, coef_c * w
-            if spec.coul_rc:
+            if spec.coul_rc and spec.coul_rc < spec.cut_max:
                 inside = r2 < spec.coul_rc * spec.coul_rc
                 e_c = jnp.where(inside, e_c, 0.0)
                 coef_c = jnp.where(inside, coef_c, 0.0)
@@ -525,9 +527,10 @@ def _pair_terms(spec, r2, inv_r, r, sig, eps, qq, special, dtype):
             e_c = jnp.where(special, e_plain * spec.coul_w, e_ew)
             coef_c = jnp.where(special, coef_plain * spec.coul_w,
                                coef_ew)
-            inside = r2 < spec.coul_rc * spec.coul_rc
-            e_c = jnp.where(inside, e_c, 0.0)
-            coef_c = jnp.where(inside, coef_c, 0.0)
+            if spec.coul_rc < spec.cut_max:   # redundant at cut_max (live)
+                inside = r2 < spec.coul_rc * spec.coul_rc
+                e_c = jnp.where(inside, e_c, 0.0)
+                coef_c = jnp.where(inside, coef_c, 0.0)
             e = e + e_c
             coef = coef + coef_c
             return e, coef
@@ -1172,17 +1175,31 @@ def pallas_block_nonbonded(spec, coords, boundary, atoms, exclusions,
     CPL_ = LANES // CL
     npc = n_pad // CL
     K = blockpairs.occ_idx.shape[0] // npc
-    jfc = (jf.reshape(4, p_max, CL, CPL_).transpose(0, 2, 1, 3)
-           .reshape(4 * CL, p_max * CPL_))
-    jfc = jnp.concatenate([jfc, jnp.zeros((4 * CL, 1), dtype)], axis=1)
-    occ = jfc[:, blockpairs.occ_idx]                        # (4*CL, npc*K)
-    jsum = jnp.sum(occ.reshape(4, CL, npc, K), axis=3)      # (4, CL, npc)
-    jf_sorted = jsum.transpose(0, 2, 1).reshape(4, n_pad)
+    if variant == "noocc":
+        # roofline probe: skip the occurrence-window reduction (j-side
+        # forces dropped — WRONG physics); full - this = the occ gather +
+        # K-sum + re-interleave cost
+        jflat = jnp.sum(jf, axis=1, keepdims=True) * jnp.asarray(
+            1e-30, dtype) + jnp.zeros((4, CL * npc), dtype)
+    else:
+        jfc = (jf.reshape(4, p_max, CL, CPL_).transpose(0, 2, 1, 3)
+               .reshape(4 * CL, p_max * CPL_))
+        jfc = jnp.concatenate([jfc, jnp.zeros((4 * CL, 1), dtype)], axis=1)
+        occ = jfc[:, blockpairs.occ_idx]                    # (4*CL, npc*K)
+        jsum = jnp.sum(occ.reshape(4, CL, npc, K), axis=3)  # (4, CL, npc)
+        # member-major flat layout: column m*npc + c holds sorted atom
+        # s = c*CL + m. The (4, CL, npc) -> (4, npc, CL) transpose is an
+        # expensive minor-axis relayout on TPU — fold it into the unsort
+        # gather's indices instead (one extra N-index gather, ~cheap)
+        jflat = jsum.reshape(4, CL * npc)
 
     # unsort forces to the original atom order by inverse-permutation GATHER
-    # (a scatter here costs ~0.4us per element on TPU)
-    f4s = f4.transpose(1, 0, 2).reshape(4, n_pad) + jf_sorted
-    f4u = f4s[:, blockpairs.inv_order[:n]]                  # (4, N)
+    # (a scatter here costs ~0.4us per element on TPU); the j-side sum
+    # gathers with member-major indices, folding its relayout in for free
+    inv = blockpairs.inv_order[:n]
+    inv2 = (inv % CL) * npc + inv // CL if CL > 1 else inv
+    f4u = (f4.transpose(1, 0, 2).reshape(4, n_pad)[:, inv]
+           + jflat[:, inv2])                                # (4, N)
     forces = f4u.T[:, :3]
     energy = eng[0, 0]
     vir = jnp.asarray([[vir6[0, 0], vir6[0, 1], vir6[0, 2]],
