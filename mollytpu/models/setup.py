@@ -256,11 +256,15 @@ def _models_code_fingerprint():
     caught by the load-time try/except anyway; this avoids even trying)."""
     import hashlib
     import os as _os
+    # pallas_pairwise.py / autotune.py never contribute pickled structures
+    # (the kernel reads BlockPairs, it doesn't shape them) — excluding them
+    # keeps kernel-math iterations from invalidating ~15-min builds
+    skip = {"pallas_pairwise.py", "autotune.py"}
     h = hashlib.sha256()
     base = _os.path.dirname(__file__)
     for d in (base, _os.path.join(_os.path.dirname(base), "ops")):
         for f in sorted(_os.listdir(d)):
-            if f.endswith(".py"):
+            if f.endswith(".py") and f not in skip:
                 with open(_os.path.join(d, f), "rb") as fh:
                     h.update(fh.read())
     return h.hexdigest()
