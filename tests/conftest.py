@@ -40,6 +40,8 @@ if _cache_dir and _cache_dir not in ("0", "off"):
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # measured: lowering this to 0.3 s does NOT speed warm runs — the
+        # fast tier's tail is tracing + pytest overhead, not XLA compiles
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
@@ -59,7 +61,7 @@ def pytest_collection_modifyitems(config, items):
     # "not tpu" for the full suite)
     if config.option.markexpr:
         return
-    for tier in ("protein", "conservation", "slow"):
+    for tier in ("protein", "conservation", "slow", "gradients"):
         skip_t = pytest.mark.skip(
             reason=f"{tier} tier: opt in with -m {tier} "
                    f"(or -m 'not tpu' for the full CPU suite)")

@@ -152,6 +152,7 @@ def test_ewald_exclusion_list_matches_in_pme_correction():
                        atol=1e-10)
 
 
+@pytest.mark.slow
 def test_windowed_exclusion_correction_matches_sparse_list():
     """EwaldExclusionCorrection (the builders' windowed dense form) must
     reproduce the sparse ewald_exclusion_list exactly — energy, forces,

@@ -242,6 +242,7 @@ def _window_free_energies_quadrature(k_bond, r0, temp, biases):
     return fs - fs[0]
 
 
+@pytest.mark.slow
 def test_awh_reference_class_free_energy_recovery():
     """Windowed AWH over umbrella states recovers the analytic per-window
     free energies of a harmonic dimer (the reference's test/tss.jl-style
@@ -274,6 +275,7 @@ def test_awh_reference_class_free_energy_recovery():
     assert st.ref_size > 20.0 or not st.covering_stage
 
 
+@pytest.mark.slow
 def test_awh_pmf_deconvolution_recovers_unbiased_pmf():
     """The sampled PMF deconvolution backend (Lindahl eq. 9) removes the
     umbrella biases: the recovered PMF matches -ln(p0(r)) of the unbiased

@@ -67,6 +67,7 @@ def _mk_system(n, box, dtype, coords=None, charge=None, sigma=0.3,
     return sys, mk, boundary
 
 
+@pytest.mark.slow
 def test_33_atoms_partial_blocks_no_cancellation():
     """33 atoms on a diagonal line: forces don't cancel, partial tiles
     everywhere (gpu_consistency.jl:3-50)."""

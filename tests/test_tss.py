@@ -332,6 +332,7 @@ def test_tss_recovers_constant_state_offsets():
     assert np.max(np.abs(f_est - f_ref)) < 0.05, (f_est, f_ref)
 
 
+@pytest.mark.slow
 def test_tss_umbrella_windows_recover_dimer_free_energies():
     """Windowed TSS over umbrella states of the harmonic dimer recovers the
     quadrature window free energies (analogue of the AWH recovery test)."""
@@ -376,6 +377,7 @@ def test_tss_pmf_deconvolution_arithmetic():
     assert np.all(np.isfinite(lbw))
 
 
+@pytest.mark.slow
 def test_tss_pmf_deconvolution_recovers_unbiased_pmf():
     """End-to-end: TSS over umbrella windows + sampled PMF deconvolution
     recovers the unbiased dimer PMF (deconvolution.jl + test/tss.jl:541)."""
